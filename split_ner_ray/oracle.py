@@ -1,0 +1,181 @@
+"""Single-process oracle extractor (SURVEY.md §5 test plan, FIXTURES.md F4).
+
+Plain-Python reference implementation of the whole KG build: same rule core
+(rules.py) as the distributed pipeline, but executed as simple loops over an
+in-memory table — no Ray, no shuffles, no windows. Pipeline output must
+match this (triples P/R >= 0.95, target exact) on the deterministic
+synthetic transcripts; what the comparison exercises is the distributed
+machinery (reassembly shuffle, windowed carry, linking blocks, union-find
+passes, dedup, resume), since the extraction rules are shared by
+construction.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pyarrow as pa
+
+from . import rules
+from .schemas import MENTIONS, NODES, RAW_TRIPLES, TRIPLES
+
+
+def extract_mentions(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT) -> pa.Table:
+    cols = {n: [] for n in MENTIONS.names}
+    conv = transcripts.column("conv_id").to_pylist()
+    turn = transcripts.column("turn_idx").to_pylist()
+    text = transcripts.column("text").to_pylist()
+    for c, t, x in zip(conv, turn, text):
+        for m in rules.detect_typed_mentions(x, max_tokens):
+            cols["conv_id"].append(c)
+            cols["turn_idx"].append(t)
+            cols["start"].append(m.start)
+            cols["end"].append(m.end)
+            cols["surface"].append(m.surface)
+            cols["etype"].append(m.etype)
+            cols["score"].append(m.score)
+    return pa.Table.from_pydict(cols, schema=MENTIONS)
+
+
+def extract_raw_triples(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT) -> pa.Table:
+    """Conversation-ordered extraction with pronoun lookback (S8 analog)."""
+    rows = transcripts.select(["conv_id", "turn_idx", "text", "tool"]).to_pylist()
+    by_conv: dict[str, list[dict]] = defaultdict(list)
+    for r in rows:
+        by_conv[r["conv_id"]].append(r)
+    cols = {n: [] for n in RAW_TRIPLES.names}
+    for conv_id in sorted(by_conv):
+        turns = sorted(by_conv[conv_id], key=lambda r: r["turn_idx"])
+        recent: list[tuple[int, str]] = []  # (turn_idx, last person surface)
+        for r in turns:
+            mentions = rules.detect_typed_mentions(r["text"], max_tokens)
+            prev_person = None
+            for ti, surf in reversed(recent):
+                if r["turn_idx"] - ti <= rules.LOOKBACK_TURNS:
+                    prev_person = surf
+                    break
+            for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
+                r["text"], r["tool"], mentions, prev_person
+            ):
+                cols["subj_surface"].append(s_surf)
+                cols["subj_etype"].append(s_et)
+                cols["pred"].append(pred)
+                cols["obj_surface"].append(o_surf)
+                cols["obj_etype"].append(o_et)
+                cols["conv_id"].append(conv_id)
+                cols["turn_idx"].append(r["turn_idx"])
+            lp = rules.last_person(mentions)
+            if lp is not None:
+                recent.append((r["turn_idx"], lp))
+    return pa.Table.from_pydict(cols, schema=RAW_TRIPLES)
+
+
+def link_entities(mention_keys: list[tuple[str, str]]) -> dict[tuple[str, str], str]:
+    """(etype, norm_surface) -> canonical norm, via blocking + containment
+    similarity + union-find connected components (rules shared with the
+    distributed linker)."""
+    keys = sorted(set(mention_keys))
+    parent = {k: k for k in keys}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic root: min key
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    blocks: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for et, norm in keys:
+        blocks[rules.block_key(norm, et)].append((et, norm))
+    for bk in sorted(blocks):
+        members = blocks[bk]
+        grams = {k: rules.char_ngrams(k[1]) for k in members}
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if rules.containment_sim(grams[members[i]], grams[members[j]]) >= rules.LINK_SIM_THRESHOLD:
+                    union(members[i], members[j])
+    return {k: find(k)[1] for k in keys}
+
+
+def build_graph(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT):
+    """Full oracle build -> (triples, nodes) Arrow tables (FIXTURES.md F4)."""
+    mentions = extract_mentions(transcripts, max_tokens)
+    raw = extract_raw_triples(transcripts, max_tokens)
+
+    ment_rows = mentions.to_pylist()
+    raw_rows = raw.to_pylist()
+    keys = [(r["etype"], rules.normalize_surface(r["surface"])) for r in ment_rows]
+    keys += [(r["subj_etype"], rules.normalize_surface(r["subj_surface"])) for r in raw_rows]
+    keys += [(r["obj_etype"], rules.normalize_surface(r["obj_surface"])) for r in raw_rows]
+    canon = link_entities(keys)
+
+    def eid(et: str, surface: str) -> str:
+        norm = rules.normalize_surface(surface)
+        return rules.entity_id(et, canon[(et, norm)])
+
+    # nodes: canonical_surface = lexicographically smallest original surface
+    # whose normalized form equals the canonical norm (falls back to min
+    # surface in the component); n_mentions counts mention occurrences.
+    comp_surfaces: dict[str, list[str]] = defaultdict(list)
+    comp_etype: dict[str, str] = {}
+    comp_count: Counter = Counter()
+    comp_canon_norm: dict[str, str] = {}
+    seen_occurrences = []
+    for r in ment_rows:
+        seen_occurrences.append((r["etype"], r["surface"]))
+    for r in raw_rows:
+        seen_occurrences.append((r["subj_etype"], r["subj_surface"]))
+        seen_occurrences.append((r["obj_etype"], r["obj_surface"]))
+    for et, surf in seen_occurrences:
+        norm = rules.normalize_surface(surf)
+        cn = canon[(et, norm)]
+        node = rules.entity_id(et, cn)
+        comp_surfaces[node].append(surf)
+        comp_etype[node] = et
+        comp_count[node] += 1
+        comp_canon_norm[node] = cn
+
+    node_cols = {n: [] for n in NODES.names}
+    for node in sorted(comp_surfaces):
+        surfs = comp_surfaces[node]
+        cn = comp_canon_norm[node]
+        exact = sorted(s for s in surfs if rules.normalize_surface(s) == cn)
+        node_cols["entity_id"].append(node)
+        node_cols["canonical_surface"].append(exact[0] if exact else min(surfs))
+        node_cols["etype"].append(comp_etype[node])
+        node_cols["n_mentions"].append(comp_count[node])
+    nodes = pa.Table.from_pydict(node_cols, schema=NODES)
+
+    # dedup triples on (subj_id, pred, obj_id); provenance = min occurrence
+    agg: dict[tuple[str, str, str], dict] = {}
+    for r in raw_rows:
+        sid = eid(r["subj_etype"], r["subj_surface"])
+        oid = eid(r["obj_etype"], r["obj_surface"])
+        key = (sid, r["pred"], oid)
+        prov = (r["conv_id"], r["turn_idx"], r["subj_surface"], r["obj_surface"])
+        cur = agg.get(key)
+        if cur is None:
+            agg[key] = {"prov": prov, "support": 1}
+        else:
+            cur["support"] += 1
+            if prov < cur["prov"]:
+                cur["prov"] = prov
+    tri_cols = {n: [] for n in TRIPLES.names}
+    for (sid, pred, oid) in sorted(agg):
+        e = agg[(sid, pred, oid)]
+        tri_cols["subj_id"].append(sid)
+        tri_cols["pred"].append(pred)
+        tri_cols["obj_id"].append(oid)
+        tri_cols["conv_id"].append(e["prov"][0])
+        tri_cols["turn_idx"].append(e["prov"][1])
+        tri_cols["subj_surface"].append(e["prov"][2])
+        tri_cols["obj_surface"].append(e["prov"][3])
+        tri_cols["support"].append(e["support"])
+    triples = pa.Table.from_pydict(tri_cols, schema=TRIPLES)
+    return triples, nodes
