@@ -14,3 +14,18 @@ shuffle keys (see SURVEY.md section 7 for the stage graph).
 """
 
 __version__ = "0.1.0"
+
+# Ray serializes our stage classes by reference; worker processes must be
+# able to import this package. Exporting PYTHONPATH before ray.init (tests,
+# bench, CLI all import us first) makes spawned workers inherit it; when the
+# harness inits Ray first, workers inherit its cwd (/root/repo) instead.
+import os as _os
+
+_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _parent not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _parent + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _parent
+    )
+del _os, _parent

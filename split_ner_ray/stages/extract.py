@@ -1,0 +1,259 @@
+"""Extraction stages: span detection, span classification, windowed
+predicate extraction (reference ops S1-S5, S8-S9 — SURVEY.md §2.3).
+
+Architecture (SURVEY.md §7 stage graph): the reference's two models hand off
+through TSV files copied by hand (README.md "SplitNER Pipeline"); here the
+hand-off is pipeline fusion — the detector adds a ``spans`` column, the
+classifier types those spans into a ``mentions`` list<struct> column, and
+predicate extraction consumes whole (conv_id, window) groups. No
+materialization between stages; blocks stream with backpressure.
+
+Stateful setup (compiled alternation regex over the gazetteer = the sandbox
+"model weights") happens once per actor in ``__init__`` — the Ray analog of
+loading BERT weights per worker (main_qa.py:41-45).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import rules
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("surface", pa.string()),
+        ("etype", pa.string()),
+        ("score", pa.float32()),
+    ]
+)
+
+WINDOW_TURNS = 64  # turns per predicate-extraction window (hot-conv salt)
+_CARRY = rules.LOOKBACK_TURNS
+
+
+class SpanDetector:
+    """Actor-pool stage 1: entity-agnostic span detection (S1 + S4).
+
+    Sandbox backend for the reference's QA span-detection model
+    (model.py:11-354) behind the same batch interface: text column in,
+    ``spans`` list<struct<start,end>> column out. A production HF backend
+    drops in here by overriding ``_detect_batch`` (registry in SURVEY §2.10).
+    """
+
+    def __init__(self, max_tokens: int = rules.MAX_TOKENS_DEFAULT):
+        self.max_tokens = max_tokens
+        # touch the module-level compiled patterns so the regex "weights"
+        # are built in this worker before the first batch
+        rules.detect_spans("warmup Acme Corp", max_tokens)
+
+    def _detect_batch(self, texts: list, mask: np.ndarray) -> list[list[tuple[int, int]]]:
+        out: list[list[tuple[int, int]]] = []
+        for i, t in enumerate(texts):
+            out.append(rules.detect_spans(t, self.max_tokens) if mask[i] else [])
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        # vectorized prefilter: every gazetteer/ID proposal contains an
+        # uppercase char — skip the per-row regex walk for the rest
+        mask = pc.match_substring_regex(batch.column("text"), "[A-Z]").to_numpy(
+            zero_copy_only=False
+        )
+        spans = self._detect_batch(texts, mask)
+        col = pa.array(
+            [[{"start": s, "end": e} for s, e in row] for row in spans],
+            type=pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())])),
+        )
+        return batch.append_column("spans", col)
+
+
+class SpanClassifier:
+    """Actor-pool stage 2: mention typing (S2 + S5).
+
+    The reference fans out one model input per mention ("What is {m}?",
+    dataset_span.py:82-136) and scatters predictions back per sentence
+    (main_span.py:98-119); fused here: one pass over the batch types every
+    span and emits the final ``mentions`` column, dropping ``spans``.
+    """
+
+    def __init__(self):
+        self.gazetteer = rules.GAZETTEER  # per-actor broadcast dict (J2/J3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        mentions = []
+        for text, row in zip(texts, spans):
+            ms = []
+            for sp in row:
+                s, e = sp["start"], sp["end"]
+                surface = text[s:e]
+                ms.append(
+                    {
+                        "start": s,
+                        "end": e,
+                        "surface": surface,
+                        "etype": rules.classify_mention(surface),
+                        "score": 1.0,
+                    }
+                )
+            mentions.append(ms)
+        out = batch.drop_columns(["spans"])
+        return out.append_column("mentions", pa.array(mentions, type=pa.list_(MENTION_STRUCT)))
+
+
+def detect_and_classify(
+    ds,
+    *,
+    max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+    concurrency=None,
+    batch_size: int = 1024,
+    num_cpus: float = 0.5,
+):
+    """read columns (conv_id, turn_idx, text, tool, ...) -> + mentions col.
+
+    Actor pools reserve ``num_cpus`` each; the 0.5 default keeps two pools
+    plus the surrounding task stages schedulable on small CPU budgets (a
+    pool that reserves every core starves the read/shuffle stages and the
+    pipeline stalls — observed, not theoretical). Size ``concurrency`` ×
+    ``num_cpus`` to roughly half the node for the detector-bound workload.
+    """
+    ds = ds.map_batches(
+        SpanDetector,
+        fn_constructor_kwargs={"max_tokens": max_tokens},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        SpanClassifier,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )
+    return ds
+
+
+def flatten_mentions(ds):
+    """Turn-level mentions column -> one row per mention (MENTIONS schema)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        ms = batch.column("mentions").to_pylist()
+        cols = {
+            "conv_id": [], "turn_idx": [], "start": [], "end": [],
+            "surface": [], "etype": [], "score": [],
+        }
+        for c, t, row in zip(conv, turn, ms):
+            for m in row:
+                cols["conv_id"].append(c)
+                cols["turn_idx"].append(t)
+                cols["start"].append(m["start"])
+                cols["end"].append(m["end"])
+                cols["surface"].append(m["surface"])
+                cols["etype"].append(m["etype"])
+                cols["score"].append(m["score"])
+        from ..schemas import MENTIONS
+
+        return pa.Table.from_pydict(cols, schema=MENTIONS)
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_windows_with_carry(ds, window_turns: int = WINDOW_TURNS):
+    """Assign ``win = turn_idx // W`` and duplicate the last LOOKBACK_TURNS
+    rows of each window into the next one flagged ``carry=True``.
+
+    This is the skew salt for hot conversations (SURVEY §4): predicate
+    extraction groups on (conv_id, win) instead of whole conversations, so a
+    10^5-turn conversation becomes ~10^3 bounded groups. Pronoun lookback is
+    contractually bounded at LOOKBACK_TURNS (rules.py), so the carry rows
+    give every window the full context it needs; carry rows never emit
+    triples themselves.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        win = (turn // window_turns).astype(np.int64)
+        base = batch.append_column("win", pa.array(win)).append_column(
+            "carry", pa.array(np.zeros(len(turn), dtype=bool))
+        )
+        carry_mask = (turn % window_turns) >= (window_turns - _CARRY)
+        if carry_mask.any():
+            idx = np.nonzero(carry_mask)[0]
+            dup = batch.take(pa.array(idx))
+            dup = dup.append_column("win", pa.array(win[idx] + 1)).append_column(
+                "carry", pa.array(np.ones(len(idx), dtype=bool))
+            )
+            return pa.concat_tables([base, dup])
+        return base
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_triples_grouped(ds, window_turns: int = WINDOW_TURNS):
+    """groupby(conv_id, win).map_groups(ordered extraction) -> RAW_TRIPLES.
+
+    The per-group function sorts by turn_idx (the O7 ordering contract is
+    per-conversation only) and applies the shared rule core with pronoun
+    lookback across the carry rows — matching oracle.extract_raw_triples
+    exactly on any window boundary.
+    """
+    from ..schemas import RAW_TRIPLES
+
+    def per_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        group = group.take(order)
+        conv = group.column("conv_id").to_pylist()
+        turn = group.column("turn_idx").to_pylist()
+        text = group.column("text").to_pylist()
+        tool = group.column("tool").to_pylist()
+        carry = group.column("carry").to_pylist()
+        ments = group.column("mentions").to_pylist()
+        cols = {n: [] for n in RAW_TRIPLES.names}
+        recent: list[tuple[int, str]] = []
+        for i in range(len(turn)):
+            mentions = [rules.Mention(m["start"], m["end"], m["surface"], m["etype"]) for m in ments[i]]
+            prev_person = None
+            for ti, surf in reversed(recent):
+                if turn[i] - ti <= rules.LOOKBACK_TURNS:
+                    prev_person = surf
+                    break
+            if not carry[i]:
+                for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
+                    text[i], tool[i], mentions, prev_person
+                ):
+                    cols["subj_surface"].append(s_surf)
+                    cols["subj_etype"].append(s_et)
+                    cols["pred"].append(pred)
+                    cols["obj_surface"].append(o_surf)
+                    cols["obj_etype"].append(o_et)
+                    cols["conv_id"].append(conv[i])
+                    cols["turn_idx"].append(turn[i])
+            lp = rules.last_person(mentions)
+            if lp is not None:
+                recent.append((turn[i], lp))
+        return pa.Table.from_pydict(cols, schema=RAW_TRIPLES)
+
+    return ds.groupby(["conv_id", "win"]).map_groups(per_group, batch_format="pyarrow")
+
+
+def extract_raw_triples(ds, *, concurrency=None, batch_size: int = 1024,
+                        window_turns: int = WINDOW_TURNS):
+    """Full extraction path: detect -> classify -> window -> grouped triples.
+
+    SHUFFLE 1 of the stage graph (groupby conv_id+win); everything before it
+    is embarrassingly parallel map_batches.
+    """
+    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size)
+    ds = add_windows_with_carry(ds, window_turns)
+    return extract_triples_grouped(ds, window_turns)
