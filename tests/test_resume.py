@@ -1,0 +1,91 @@
+"""Kill/resume test (FIXTURES.md F5): a job killed after K committed
+partitions, then resumed, produces byte-identical final triples."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(tmp_path_factory, smoke_transcripts):
+    """Write smoke transcripts as a sharded parquet dir (conv-disjoint
+    shards — the documented input layout assumption)."""
+    import pyarrow as pa
+
+    from split_ner_ray.synth import gen_conv_range
+
+    d = tmp_path_factory.mktemp("transcripts")
+    for i, lo in enumerate(range(0, 50, 10)):
+        tbl = gen_conv_range(seed=42, lo=lo, hi=lo + 10, n_convs=50)
+        pq.write_table(tbl, os.path.join(str(d), f"part-{i:05d}.parquet"))
+    return str(d)
+
+
+def _read_sorted(path: str) -> pd.DataFrame:
+    df = pq.read_table(path).to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_kill_and_resume_identical_triples(ray_session, transcripts_dir, tmp_path):
+    from split_ner_ray.pipelines.checkpointed import build_graph_job
+    from split_ner_ray.state import manifest as mf
+
+    uninterrupted = str(tmp_path / "out_a")
+    resumed = str(tmp_path / "out_b")
+
+    build_graph_job(transcripts_dir, uninterrupted, files_per_group=1,
+                    concurrency=2, batch_size=256)
+
+    # killed run: only 2 of 5 groups commit, no phase B
+    r = build_graph_job(transcripts_dir, resumed, files_per_group=1,
+                        concurrency=2, batch_size=256, stop_after_groups=2)
+    assert r is None
+    committed = mf.committed_groups(os.path.join(resumed, "_work"))
+    assert len(committed) == 2  # manifests exist for exactly the committed groups
+    assert not os.path.exists(os.path.join(resumed, "_SUCCESS"))
+
+    # resume: remaining groups run, phase B completes
+    build_graph_job(transcripts_dir, resumed, files_per_group=1,
+                    concurrency=2, batch_size=256)
+    assert os.path.exists(os.path.join(resumed, "_SUCCESS"))
+    assert len(mf.committed_groups(os.path.join(resumed, "_work"))) == 5
+
+    for table in ("triples", "nodes", "edges"):
+        a = _read_sorted(os.path.join(uninterrupted, table))
+        b = _read_sorted(os.path.join(resumed, table))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_metrics_lineage_rows(ray_session, transcripts_dir, tmp_path):
+    from split_ner_ray.pipelines.checkpointed import build_graph_job
+
+    out = str(tmp_path / "out")
+    build_graph_job(transcripts_dir, out, files_per_group=2, concurrency=2, batch_size=256)
+    m = pq.read_table(os.path.join(out, "metrics.parquet")).to_pandas()
+    # every stage present, non-empty, with wall time and row counts
+    assert set(m["stage"]) == {"extract", "link_canon", "dedup_triples", "nodes_edges"}
+    extract = m[m["stage"] == "extract"]
+    assert len(extract) == 3  # 5 files in groups of 2
+    assert (extract["rows_in"] > 0).all()
+    assert (m["wall_s"] >= 0).all()
+    frags = [f for row in extract["input_fragments"] for f in row]
+    assert len(frags) == 5 and all(f.endswith(".parquet") for f in frags)
+
+
+def test_job_matches_in_memory_pipeline(ray_session, transcripts_dir, tmp_path, smoke_transcripts):
+    """Checkpointed job == pure in-memory pipeline == oracle."""
+    import ray.data as rd
+
+    from split_ner_ray import oracle
+    from split_ner_ray.pipelines.checkpointed import build_graph_job
+
+    out = str(tmp_path / "out")
+    build_graph_job(transcripts_dir, out, files_per_group=2, concurrency=2, batch_size=256)
+    got = _read_sorted(os.path.join(out, "triples"))
+    o_triples, _ = oracle.build_graph(smoke_transcripts)
+    want = o_triples.to_pandas().sort_values(list(o_triples.schema.names)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
