@@ -1,0 +1,367 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (driver-required training-data-pipeline ops).
+
+All stages follow the guide's canonical shapes: vectorized per-batch
+signature computation -> explode to (band, hash, id) rows -> groupby bands
+-> candidate pairs -> verify -> connected components (stages/graph.py) for
+cluster assignment. Every hash is seeded/deterministic (blake2b + fixed
+linear perms mod a Mersenne prime), so results are reproducible at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PRIME = (1 << 61) - 1
+_WS = re.compile(r"\s+")
+
+PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def word_shingles(text: str, n: int = 3) -> set[str]:
+    toks = _WS.split(text.strip()) if text.strip() else []
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (op D1/D5 mechanics over documents)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """content md5 -> groupby(hash) -> (hash, keep_id=min id, n_dups).
+    The vectorized hash runs inside map_batches; the groupby only moves
+    (hash, id) pairs, not the texts."""
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col]],
+                id_col: batch[id_col].astype("int64"),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": [group["h"].iloc[0]],
+                "keep_id": [int(group[id_col].min())],
+                "n_dups": [int(len(group))],
+            }
+        )
+
+    return hashed.groupby("h").map_groups(per_hash, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (shingle -> minhash -> band -> bucket groupby)
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Seeded 64-perm MinHash over word n-gram shingles; signatures are a
+    pure function of the text (deterministic across workers)."""
+
+    def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 7):
+        rng = random.Random(seed)
+        self.a = np.array([rng.randrange(1, _PRIME) for _ in range(num_perm)], dtype=np.uint64)
+        self.b = np.array([rng.randrange(0, _PRIME) for _ in range(num_perm)], dtype=np.uint64)
+        self.num_perm = num_perm
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.ngram)
+        if not sh:
+            return np.full(self.num_perm, _PRIME, dtype=np.uint64)
+        base = np.array([_h64(s) for s in sorted(sh)], dtype=np.uint64)
+        # (P, S) perm matrix via modular linear hashing, min over shingles
+        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % _PRIME
+        return prod.min(axis=1)
+
+
+def minhash_band_rows(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                      seed: int = 7):
+    """docs -> (band, band_hash, id, sig) rows, one per band per doc."""
+    rows_per_band = num_perm // bands
+
+    class Sigs:
+        def __init__(self):
+            self.mh = MinHasher(num_perm, ngram, seed)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = {"band": [], "band_hash": [], "id": [], "sig": []}
+            for i, t in zip(batch[id_col].astype("int64"), batch[text_col]):
+                sig = self.mh.signature(t)
+                sig_list = sig.tolist()
+                for b in range(bands):
+                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    out["band"].append(b)
+                    out["band_hash"].append(_h64(",".join(map(str, chunk.tolist()))) - (1 << 63))
+                    out["id"].append(int(i))
+                    out["sig"].append(sig_list)
+            return pd.DataFrame(out)
+
+    return ds.map_batches(Sigs, batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+
+def candidate_pairs_from_bands(band_rows, *, verify_threshold: float = 0.7):
+    """groupby(band, band_hash) -> verified candidate pairs (src < dst).
+    Verification = signature-estimated Jaccard >= threshold (the standard
+    MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["id"].tolist()
+        sigs = group["sig"].tolist()
+        uniq = {}
+        for i, s in zip(ids, sigs):
+            uniq[i] = s
+        items = sorted(uniq.items())
+        src, dst = [], []
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                ia, sa = items[x]
+                ib, sb = items[y]
+                est = float(np.mean(np.array(sa) == np.array(sb)))
+                if est >= verify_threshold:
+                    src.append(ia)
+                    dst.append(ib)
+        return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(per_bucket, batch_format="pandas")
+
+    # the same pair can surface from several bands -> dedup on (src, dst)
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas")
+
+
+def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                     seed: int = 7, verify_threshold: float = 0.7):
+    """Full MinHash-LSH near-dup pipeline -> (node=id, label=cluster rep).
+    Cluster rep = min doc id of the component (stages/graph.py CC)."""
+    from .graph import connected_components
+
+    bandr = minhash_band_rows(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, ngram=ngram, seed=seed,
+    )
+    pairs = candidate_pairs_from_bands(bandr, verify_threshold=verify_threshold)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unweighted)."""
+    toks = _WS.split(text.strip()) if text.strip() else []
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = _h64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3):
+    """SimHash blocking: 4 x 16-bit bands (any pair within hamming<=3 shares
+    at least one exact band by pigeonhole) -> verify hamming distance."""
+
+    def sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"band": [], "band_val": [], "id": [], "sim": []}
+        for i, t in zip(batch[id_col].astype("int64"), batch[text_col]):
+            s = simhash64(t)
+            for b in range(4):
+                out["band"].append(b)
+                out["band_val"].append((s >> (16 * b)) & 0xFFFF)
+                out["id"].append(int(i))
+                out["sim"].append(s - (1 << 63))
+        return pd.DataFrame(out)
+
+    rows = ds.map_batches(sigs, batch_format="pandas")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        items = sorted(set(zip(group["id"].tolist(), group["sim"].tolist())))
+        src, dst = [], []
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                ia, sa = items[x]
+                ib, sb = items[y]
+                if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming:
+                    src.append(ia)
+                    dst.append(ib)
+        return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
+
+    pairs = rows.groupby(["band", "band_val"]).map_groups(per_bucket, batch_format="pandas")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard verification (for LSH candidates)
+# ---------------------------------------------------------------------------
+
+def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text", ngram: int = 3,
+                         threshold: float = 0.7):
+    """Re-check candidate pairs with exact shingle Jaccard. The candidate
+    docs' shingle sets are broadcast (candidates are a tiny fraction of the
+    corpus); at larger candidate volumes switch to a partitioned join on id.
+    """
+    import ray
+
+    cand_ids = set()
+    for row in pairs_ds.take_all():
+        cand_ids.add(row["src"])
+        cand_ids.add(row["dst"])
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch[id_col].astype("int64").isin(cand_ids)]
+        return pd.DataFrame(
+            {
+                "id": sub[id_col].astype("int64"),
+                "shingles": [sorted(word_shingles(t, ngram)) for t in sub[text_col]],
+            }
+        )
+
+    sh = {r["id"]: set(r["shingles"]) for r in docs_ds.map_batches(shingle_rows, batch_format="pandas").take_all()}
+    sh_ref = ray.put(sh)
+
+    class Verify:
+        def __init__(self):
+            self.sh = ray.get(sh_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keep = []
+            jac = []
+            for s, d in zip(batch["src"], batch["dst"]):
+                a, b = self.sh.get(int(s), set()), self.sh.get(int(d), set())
+                j = len(a & b) / len(a | b) if (a or b) else 0.0
+                keep.append(j >= threshold)
+                jac.append(j)
+            out = batch.copy()
+            out["jaccard"] = jac
+            return out[pd.Series(keep, index=out.index)]
+
+    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                     threshold: float = 0.95, num_planes: int = 12, seed: int = 11,
+                     lsh: bool = False):
+    """Near-duplicate vector pairs by cosine similarity.
+
+    Default path: per-batch float64 sims against the full broadcast matrix
+    (exact; fine while the matrix fits workers). ``lsh=True`` switches to
+    random-hyperplane bucketing (groupby bucket, pairwise within bucket) —
+    the 100 TB path; recall depends on num_planes vs threshold.
+    """
+    import ray
+
+    mat_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in mat_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+
+    if not lsh:
+        ref = ray.put((ids, matn))
+
+        class Brute:
+            def __init__(self):
+                self.ids, self.matn = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                v = np.array(list(batch[vec_col]), dtype=np.float64)
+                n = np.linalg.norm(v, axis=1)
+                n[n == 0] = 1.0
+                sims = (v / n[:, None]) @ self.matn.T
+                src, dst = [], []
+                for row_i, qid in enumerate(batch[id_col].astype("int64")):
+                    hits = self.ids[sims[row_i] >= threshold]
+                    for h in hits:
+                        if qid < h:
+                            src.append(int(qid))
+                            dst.append(int(h))
+                return pd.DataFrame(
+                    {"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")}
+                )
+
+        return emb_ds.map_batches(Brute, batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, mat.shape[1])
+    planes_ref = ray.put(planes)
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = np.array(list(batch[vec_col]), dtype=np.float64)
+            bits = (v @ self.planes.T) > 0
+            bucket = bits @ (1 << np.arange(self.planes.shape[0], dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "bucket": pd.array(bucket, dtype="int64"),
+                    "id": batch[id_col].astype("int64"),
+                    "vec": [list(map(float, x)) for x in v],
+                }
+            )
+
+    rows = emb_ds.map_batches(Bucketize, batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids_l = group["id"].tolist()
+        vecs = np.array(group["vec"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(vecs, axis=1)
+        n[n == 0] = 1.0
+        vn = vecs / n[:, None]
+        sims = vn @ vn.T
+        src, dst = [], []
+        for x in range(len(ids_l)):
+            for y in range(x + 1, len(ids_l)):
+                if sims[x, y] >= threshold and ids_l[x] != ids_l[y]:
+                    a, b = sorted((ids_l[x], ids_l[y]))
+                    src.append(a)
+                    dst.append(b)
+        return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
+
+    pairs = rows.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas")

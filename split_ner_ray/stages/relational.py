@@ -1,0 +1,120 @@
+"""Relational operators: broadcast join, partitioned hash join, top-k.
+
+The reference has no relational joins (its lookups are driver dicts —
+SURVEY.md §2.4); these operators are the engine's general-purpose
+equivalents, used by the TPC-H-style queries() entries and by linking's
+large-canon-map fallback.
+
+Design notes for 100 TB:
+- broadcast_join: small side is ray.put ONCE; each actor resolves the ref
+  in __init__ and merges per batch (never re-shipped per batch).
+- partitioned_join: both sides get a bucket column (hash(key) % B); one
+  groupby on (bucket) co-locates matching keys; pandas merge per bucket.
+  B sizes the shuffle granularity; salt hot keys upstream if a single key
+  exceeds a bucket's memory.
+- topk: per-batch local top-k partials, then a single-block final top-k —
+  no global sort of the full dataset.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+class _BroadcastMerge:
+    def __init__(self, small_ref, on, how, suffix):
+        import ray
+
+        small = ray.get(small_ref)
+        self.small = small.to_pandas() if isinstance(small, pa.Table) else small
+        self.on = on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+
+
+def broadcast_join(big_ds, small, on, *, how: str = "inner", concurrency=4,
+                   suffix: str = "_r"):
+    """Join a big Dataset against a small in-memory table (pandas/Arrow).
+
+    ``small`` is placed in the object store once; actors hold the
+    deserialized table for their lifetime.
+    """
+    import ray
+
+    small_ref = ray.put(small)
+    return big_ds.map_batches(
+        _BroadcastMerge,
+        fn_constructor_kwargs={
+            "small_ref": small_ref, "on": on, "how": how, "suffix": suffix,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
+                     how: str = "inner"):
+    """Explicit partitioned hash join: bucket both sides on hash(key) % B,
+    one shuffle co-locates buckets, pandas merge inside each group.
+
+    The two sides are unioned into one superset-schema stream (union
+    requires matching schemas), tagged with __side, and split again inside
+    each bucket group.
+    """
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+    extra_r = [c for c in rcols if c not in lcols]
+    all_cols = lcols + extra_r
+
+    def bucketize(side: str, own_cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            key = batch[on[0]].astype("string").fillna("")
+            for c in on[1:]:
+                key = key + "\x00" + batch[c].astype("string").fillna("")
+            batch = batch.copy()
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = pd.NA
+            batch = batch[all_cols]
+            batch["__bucket"] = (
+                pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets
+            ).astype("int64")
+            batch["__side"] = side
+            return batch
+
+        return fn
+
+    both = left_ds.map_batches(bucketize("L", lcols), batch_format="pandas").union(
+        right_ds.map_batches(bucketize("R", rcols), batch_format="pandas")
+    )
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group.loc[group["__side"] == "L", lcols]
+        rg = group.loc[group["__side"] == "R", rcols]
+        # restore native dtypes degraded by the NA-padded union schema
+        return lg.merge(rg, on=on, how=how, suffixes=("", "_r")).infer_objects()
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def topk(ds, by: list[tuple[str, bool]], k: int):
+    """Top-k rows without a global sort: local per-batch top-k, then one
+    final top-k over the concatenated partials.
+
+    ``by`` is [(column, descending), ...]; include a unique tie-break
+    column for determinism.
+    """
+    cols = [c for c, _ in by]
+    asc = [not d for _, d in by]
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(cols, ascending=asc).head(k)
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    final = partials.repartition(1).map_batches(local, batch_format="pandas", batch_size=None)
+    return final

@@ -1,0 +1,146 @@
+"""Text-analysis operators over document tables: token counting, quality
+scoring, language-ID, orthographic pattern stats, fingerprinting.
+
+These are the large-scale training-data-pipeline ops the engine adds beyond
+the reference's inventory (driver instructions), built on the same pattern
+kernels as the detector (functions/patterns.py). Every op is a stateless
+vectorized map_batches or a partial+final aggregate; all thresholds are
+integers so the DuckDB oracles compare exactly (no float hashing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.patterns import pattern_type2
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]", re.A)
+_UPPER = re.compile(r"[A-Z]")
+_DIGIT = re.compile(r"[0-9]")
+
+# marker-word sets for the deterministic language-ID heuristic; over real
+# corpora these are per-language stopwords — the rule (argmax of marker
+# hits, ties by fixed language order) is the operator contract
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "row"),
+    "de": ("der", "die", "und", "table"),
+    "fr": ("le", "la", "et", "join"),
+    "es": ("el", "los", "y", "query"),
+}
+LANG_ORDER = ["en", "de", "fr", "es", "und"]  # 'und' = undetermined
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens_ws(text: str) -> list[str]:
+    """Whitespace tokens of trimmed text ('' -> []) — deliberately the
+    simplest splitter so the SQL oracle (regexp_split_to_array) matches."""
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def add_token_counts(ds, text_col: str = "text"):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_tokens"] = [len(tokens_ws(t)) for t in batch[text_col]]
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def add_quality_stats(ds, text_col: str = "text"):
+    """Integer quality features: n_chars, n_punct, n_upper, n_digit,
+    n_stopwords, n_tokens + is_quality flag (all-integer thresholds)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        texts = list(batch[text_col])
+        batch["n_chars"] = [len(t) for t in texts]
+        batch["n_punct"] = [len(_PUNCT.findall(t)) for t in texts]
+        batch["n_upper"] = [len(_UPPER.findall(t)) for t in texts]
+        batch["n_digit"] = [len(_DIGIT.findall(t)) for t in texts]
+        toks = [tokens_ws(t) for t in texts]
+        batch["n_tokens"] = [len(ts) for ts in toks]
+        batch["n_stopwords"] = [sum(1 for w in ts if w.lower() in STOPWORDS) for ts in toks]
+        # quality: >=10 tokens and punctuation below 20% of chars (integer math)
+        batch["is_quality"] = [
+            1 if (nt >= 10 and 5 * np_ <= nc) else 0
+            for nt, np_, nc in zip(batch["n_tokens"], batch["n_punct"], batch["n_chars"])
+        ]
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def add_langid(ds, text_col: str = "text", out_col: str = "lang_pred"):
+    """Deterministic language-ID: argmax of marker-word hits, ties broken
+    by LANG_ORDER; no hits -> 'und'."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        preds = []
+        for t in batch[text_col]:
+            toks = [w.lower() for w in tokens_ws(t)]
+            best_lang, best_n = "und", 0
+            for lang in LANG_ORDER[:-1]:
+                n = sum(1 for w in toks if w in LANG_MARKERS[lang])
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            preds.append(best_lang)
+        batch[out_col] = preds
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def pattern_counts(ds, text_col: str = "text", top_k: int = 20):
+    """Global orthographic-pattern histogram (op M1 as a corpus statistic):
+    whitespace tokens -> pattern_type2 -> partial counts per batch -> one
+    small groupby -> top-k by (count desc, pattern)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            for w in tokens_ws(t):
+                c[pattern_type2(w)] += 1
+        return pa.Table.from_pydict(
+            {"pattern": list(c.keys()), "n": [int(v) for v in c.values()]},
+            schema=pa.schema([("pattern", pa.string()), ("n", pa.int64())]),
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("pattern").aggregate(Sum("n", alias_name="n"))
+    from .relational import topk
+
+    return topk(agg, [("n", True), ("pattern", False)], top_k)
+
+
+def add_fingerprint(ds, text_col: str = "text", ngram: int = 3,
+                    out_col: str = "fingerprint"):
+    """Document fingerprint: order-insensitive 64-bit XOR of word n-gram
+    hashes (rolling-hash analog); near-identical token streams collide."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        fps = []
+        for t in batch[text_col]:
+            toks = tokens_ws(t)
+            fp = 0
+            for i in range(max(0, len(toks) - ngram + 1)):
+                sh = " ".join(toks[i : i + ngram])
+                fp ^= int.from_bytes(
+                    hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big"
+                )
+            fps.append(fp - (1 << 63))  # signed int64 range
+        batch[out_col] = pd.array(fps, dtype="int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
