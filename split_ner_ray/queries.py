@@ -1,0 +1,688 @@
+"""The driver-facing query catalog: every operator exposed as a
+``sf_dir -> result`` callable plus (where SQL-expressible) a DuckDB oracle
+string with IDENTICAL column names and value semantics.
+
+Float discipline: monetary/real aggregates are emitted as integer cents
+(CAST(ROUND(100*sum) AS BIGINT) on both sides) so the driver's value-hash
+comparison is exact — float formatting/rounding differences can't flip a
+hash. Ratios use integer arithmetic.
+
+The KG pipeline queries run over the deterministic synthetic transcripts
+table (synth.transcripts_path — BASELINE.json input_hint shape; the
+testdata has no transcripts table) and therefore carry no SQL oracle: the
+driver records rows-only checks, while tests/test_pipeline_parity.py holds
+the strong equivalence (pipeline == single-process oracle, exact).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _cents(x) -> int:
+    return int(round(100.0 * float(x)))
+
+
+def _c4(x) -> int:
+    """x10000 integer scaling for sums of price*(1-discount) products: the
+    exact values are multiples of 1e-4 (both factors are 2-decimal), so the
+    rounded integer is identical under any summation order / rounding mode
+    - unlike x100, which lands exactly on .5 cent boundaries and flips
+    between DuckDB (half-away) and Python (half-even)."""
+    return int(round(10000.0 * float(x)))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational pipelines (ops A1-A7, O1-O5, J-family mechanics)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary (TPC-H Q1 shape): filter -> partial agg inside
+    map_batches (combiner) -> small groupby -> sort."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] <= cutoff]
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty=("l_quantity", "sum"),
+            base=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        )
+        disc = (
+            b.assign(dp=b["l_extendedprice"] * (1 - b["l_discount"]))
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)["dp"]
+            .sum()
+        )
+        return g.merge(disc, on=["l_returnflag", "l_linestatus"])
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="qty"),
+        Sum("base", alias_name="base"),
+        Sum("dp", alias_name="dp"),
+        Sum("n", alias_name="count_order"),
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty_c": [_cents(v) for v in df["qty"]],
+            "sum_base_price_c": [_cents(v) for v in df["base"]],
+            "sum_disc_price_c4": [_c4(v) for v in df["dp"]],
+            "count_order": df["count_order"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(100*SUM(l_quantity)) AS BIGINT) AS sum_qty_c,
+       CAST(ROUND(100*SUM(l_extendedprice)) AS BIGINT) AS sum_base_price_c,
+       CAST(ROUND(10000*SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS sum_disc_price_c4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders_revenue(sf_dir: str):
+    """Shipping-priority shape (Q3): broadcast join customer(BUILDING) into
+    orders, partitioned join with lineitem via groupby, top-10 revenue."""
+    from .stages.relational import broadcast_join, topk
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust_b = cust.to_pandas()
+    cust_b = cust_b[cust_b["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    o_b = broadcast_join(orders.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    ), cust_b, ["c_custkey"])
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].astype("int64"),
+                "rev": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+            }
+        )
+
+    li_rev = li.map_batches(rev, batch_format="pandas")
+    okeys = set(o_b.to_pandas()["o_orderkey"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["o_orderkey"].isin(okeys)]
+
+    agg = (
+        li_rev.map_batches(keep, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    from .stages.relational import topk as _topk
+
+    top = _topk(agg, [("rev", True), ("o_orderkey", False)], 10).to_pandas()
+    return pd.DataFrame(
+        {
+            "o_orderkey": top["o_orderkey"].astype("int64"),
+            "revenue_c4": [_c4(v) for v in top["rev"]],
+        }
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, CAST(ROUND(10000*SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue_c4
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY SUM(l_extendedprice*(1-l_discount)) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def nation_customer_stats(sf_dir: str):
+    """Dimension chain: customer -> nation -> region broadcast joins."""
+    from .stages.relational import broadcast_join
+
+    nation = pd.read_parquet(_t(sf_dir, "nation")).rename(columns={"n_nationkey": "c_nationkey"})
+    region = pd.read_parquet(_t(sf_dir, "region")).rename(columns={"r_regionkey": "n_regionkey"})
+    dim = nation.merge(region, on="n_regionkey")[["c_nationkey", "n_name", "r_name"]]
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, ["c_nationkey"])
+    agg = joined.groupby(["r_name", "n_name"]).aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="bal")
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "r_name": df["r_name"],
+            "n_name": df["n_name"],
+            "n_customers": df["n_customers"].astype("int64"),
+            "acctbal_c": [_cents(v) for v in df["bal"]],
+        }
+    )
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+NATION_CUST_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(ROUND(100*SUM(c_acctbal)) AS BIGINT) AS acctbal_c
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def brand_revenue_topk(sf_dir: str):
+    from .stages.relational import broadcast_join, topk
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"]).rename(
+        columns={"p_partkey": "l_partkey"}
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    joined = broadcast_join(li, part, ["l_partkey"])
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"p_brand": batch["p_brand"], "rev": batch["l_extendedprice"] * (1 - batch["l_discount"])}
+        )
+
+    agg = joined.map_batches(rev, batch_format="pandas").groupby("p_brand").aggregate(
+        Sum("rev", alias_name="rev")
+    )
+    top = topk(agg, [("rev", True), ("p_brand", False)], 5).to_pandas()
+    return pd.DataFrame(
+        {"p_brand": top["p_brand"], "revenue_c4": [_c4(v) for v in top["rev"]]}
+    )
+
+
+BRAND_SQL = """
+SELECT p_brand, CAST(ROUND(10000*SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY SUM(l_extendedprice*(1-l_discount)) DESC, p_brand
+LIMIT 5
+"""
+
+
+def order_priority_count(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["o_orderdate"] >= pd.Timestamp("1996-01-01")][["o_orderpriority"]]
+
+    agg = ds.map_batches(f, batch_format="pandas").groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )
+    df = agg.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDER_PRIO_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: windows / sessions / json-ish props (streaming-shaped ops)
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    from .stages.windows import add_tumbling_window
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    w = add_tumbling_window(ds, period_s=3600)
+    agg = w.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="val")
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "window_start": df["window_start"],
+            "n_events": df["n_events"].astype("int64"),
+            "value_c": [_cents(v) for v in df["val"]],
+        }
+    )
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+       CAST(ROUND(100*SUM(value)) AS BIGINT) AS value_c
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+def events_sessions(sf_dir: str):
+    from .stages.windows import sessionize
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    s = sessionize(ds, gap_s=1800)
+    agg = s.groupby("user_id").aggregate(
+        Count(alias_name="n_sessions"), Sum("n_events", alias_name="n_events")
+    )
+    df = agg.to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_SESSIONS_SQL = """
+SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events)
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_props_sum(sf_dir: str):
+    """Scalar-function op: extract the integer payload from the props JSON
+    string with a regex (string kernel, vectorized in pandas)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r"(\d+)", expand=False).astype("int64")
+        return pd.DataFrame({"event_type": batch["event_type"], "k": k})
+
+    agg = ds.map_batches(f, batch_format="pandas").groupby("event_type").aggregate(
+        Sum("k", alias_name="props_k_sum"), Count(alias_name="n")
+    )
+    df = agg.to_pandas()
+    df["props_k_sum"] = df["props_k_sum"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS props_k_sum,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(sf_dir: str):
+    from .stages.text import add_token_counts
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = add_token_counts(ds).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_quality(sf_dir: str):
+    from .stages.text import add_quality_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    cols = ["doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "is_quality"]
+    df = add_quality_stats(ds).select_columns(cols).to_pandas()
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       len(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(text) - len(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct,
+       CASE WHEN trim(text) = '' THEN 0 ELSE
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> lower(x) IN ('the','a','and','of','to','in'))) END AS n_stopwords,
+       CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10
+             AND 5 * (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g'))) <= len(text)
+            THEN 1 ELSE 0 END AS is_quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_pattern_hist(sf_dir: str):
+    from .stages.text import pattern_counts
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    df = pattern_counts(ds, top_k=20).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+DOC_PATTERN_SQL = """
+SELECT pattern, COUNT(*) AS n FROM (
+  SELECT regexp_replace(regexp_replace(regexp_replace(tok, '[a-z]', 'l', 'g'),
+                        '[A-Z]', 'u', 'g'), '[0-9]', 'd', 'g') AS pattern
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> '')
+)
+GROUP BY pattern ORDER BY n DESC, pattern LIMIT 20
+"""
+
+
+def doc_langid(sf_dir: str):
+    from .stages.text import add_langid
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = add_langid(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_LANG_HITS = {
+    "en": "('the','a','value','row')",
+    "de": "('der','die','und','table')",
+    "fr": "('le','la','et','join')",
+    "es": "('el','los','y','query')",
+}
+DOC_LANGID_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN en >= 1 AND en >= de AND en >= fr AND en >= es THEN 'en'
+    WHEN de >= 1 AND de > en AND de >= fr AND de >= es THEN 'de'
+    WHEN fr >= 1 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+    WHEN es >= 1 AND es > en AND es > de AND es > fr THEN 'es'
+    ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN {_LANG_HITS['en']})) END AS en,
+    CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN {_LANG_HITS['de']})) END AS de,
+    CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN {_LANG_HITS['fr']})) END AS fr,
+    CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN {_LANG_HITS['es']})) END AS es
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
+def dedup_exact_docs(sf_dir: str):
+    from .stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = exact_dedup(ds).to_pandas()
+    df["keep_id"] = df["keep_id"].astype("int64")
+    df["n_dups"] = df["n_dups"].astype("int64")
+    return df.sort_values("keep_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def ann_topk_cosine(sf_dir: str):
+    from .stages.ann import brute_topk, load_queries
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, ANN_QUERY_IDS)
+    df = brute_topk(emb, qids, qmat, k=5).to_pandas()
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+ANN_SQL = """
+SELECT qid, vid, rank FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vid,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                     e.vec_id) AS rank
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+)
+WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def ann_ivf_cosine(sf_dir: str):
+    from .stages.ann import ivf_topk, load_queries
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, ANN_QUERY_IDS)
+    df = ivf_topk(emb, qids, qmat, k=5, num_centroids=8, nprobe=4).to_pandas()
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def dedup_minhash_docs(sf_dir: str):
+    from .stages.dedup import minhash_clusters
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = minhash_clusters(ds, verify_threshold=0.9).to_pandas()
+    df = df.rename(columns={"node": "doc_id", "label": "cluster_rep"})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["cluster_rep"] = df["cluster_rep"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_simhash_docs(sf_dir: str):
+    from .stages.dedup import simhash_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    if len(df):
+        df["src"] = df["src"].astype("int64")
+        df["dst"] = df["dst"].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True) if len(df) else df
+
+
+def doc_fingerprints(sf_dir: str):
+    from .stages.text import add_fingerprint
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = add_fingerprint(ds).select_columns(["doc_id", "fingerprint"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# the KG pipeline itself (transcripts -> triples/nodes/mentions) — rows-only
+# ---------------------------------------------------------------------------
+
+def _transcripts_ds(sf_dir: str):
+    from .synth import transcripts_path
+
+    return rd.read_parquet(transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text", "tool"])
+
+
+def kg_triples(sf_dir: str):
+    from .pipelines.kg import build_graph_datasets
+
+    triples, _n, _e, _m = build_graph_datasets(_transcripts_ds(sf_dir), concurrency=(1, 4))
+    return triples.to_pandas().sort_values(["subj_id", "pred", "obj_id"]).reset_index(drop=True)
+
+
+def kg_nodes(sf_dir: str):
+    from .pipelines.kg import build_graph_datasets
+
+    _t_, nodes, _e, _m = build_graph_datasets(_transcripts_ds(sf_dir), concurrency=(1, 4))
+    return nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+
+
+def kg_mentions(sf_dir: str):
+    from .stages.extract import detect_and_classify, flatten_mentions
+
+    ds = _transcripts_ds(sf_dir)
+    m = flatten_mentions(detect_and_classify(ds, concurrency=(1, 4)))
+    return m.to_pandas().sort_values(["conv_id", "turn_idx", "start"]).reset_index(drop=True)
+
+
+def kg_parity_metrics(sf_dir: str):
+    """Self-check: distributed pipeline vs single-process oracle triple P/R
+    (the north-rule gate, run as a query so every round records it)."""
+    import pyarrow.parquet as pq
+
+    from . import oracle
+    from .pipelines.kg import build_graph_datasets
+    from .synth import transcripts_path
+
+    path = transcripts_path(sf_dir)
+    tbl = pa.concat_tables(
+        [pq.read_table(os.path.join(path, f)) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+    )
+    triples, _n, _e, _m = build_graph_datasets(_transcripts_ds(sf_dir), concurrency=(1, 4))
+    got = set(
+        zip(*(triples.to_pandas()[c] for c in ("subj_id", "pred", "obj_id")))
+    )
+    o_triples, _ = oracle.build_graph(tbl)
+    want = set(
+        zip(
+            o_triples.column("subj_id").to_pylist(),
+            o_triples.column("pred").to_pylist(),
+            o_triples.column("obj_id").to_pylist(),
+        )
+    )
+    tp = len(got & want)
+    p = tp / max(1, len(got))
+    r = tp / max(1, len(want))
+    return pd.DataFrame(
+        {
+            "n_pipeline": [len(got)],
+            "n_oracle": [len(want)],
+            "tp": [tp],
+            "precision_pct": [int(round(10000 * p))],
+            "recall_pct": [int(round(10000 * r))],
+        }
+    )
+
+
+def kg_span_f1(sf_dir: str):
+    """Span-F1 conformance on the BIOE TSV fixture (FIXTURES.md F3): gold
+    fixture tags vs the pipeline detector re-run -> must be a perfect 1.0
+    (decode-path identity), reported via the reference metric op A1."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .sources.tsv import read_tsv_corpus, write_bioe_fixture
+    from .synth import transcripts_path
+    from .evaluate import span_f1_dataset
+    from . import rules
+    from .functions.decode import first_wins_assign
+    from .functions.tokenize import tokenize_with_offsets
+
+    path = transcripts_path(sf_dir)
+    first = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))[0]
+    tbl = pq.read_table(os.path.join(path, first)).slice(0, 2000)
+    with tempfile.TemporaryDirectory() as td:
+        fixture = os.path.join(td, "eval.tsv")
+        write_bioe_fixture(tbl, fixture)
+        corpus = read_tsv_corpus(fixture)
+
+        def predict(batch: pa.Table) -> pa.Table:
+            golds = batch.column("tags").to_pylist()
+            toks = batch.column("tokens").to_pylist()
+            preds = []
+            for tokens in toks:
+                text = " ".join(tokens)
+                spans = tokenize_with_offsets(text)
+                starts = {s: i for i, (s, _e) in enumerate(spans)}
+                ends = {e: i for i, (_s, e) in enumerate(spans)}
+                proposals = []
+                for m in rules.detect_typed_mentions(text):
+                    ti, tj = starts.get(m.start), ends.get(m.end)
+                    if ti is not None and tj is not None:
+                        proposals.append((ti, tj, m.etype))
+                tags = first_wins_assign(len(spans), proposals)
+                # re-tokenization of joined text can split differently than
+                # the fixture rows; pad/trim to the fixture token count
+                if len(tags) < len(tokens):
+                    tags = tags + ["O"] * (len(tokens) - len(tags))
+                preds.append(tags[: len(tokens)])
+            return pa.Table.from_pydict(
+                {"gold_tags": golds, "pred_tags": preds},
+                schema=pa.schema(
+                    [("gold_tags", pa.list_(pa.string())), ("pred_tags", pa.list_(pa.string()))]
+                ),
+            )
+
+        res = span_f1_dataset(corpus.map_batches(predict, batch_format="pyarrow"))
+    m = res["micro"]
+    return pd.DataFrame(
+        {
+            "tp": [m["tp"]], "fp": [m["fp"]], "fn": [m["fn"]],
+            "micro_f1_pct": [int(round(10000 * m["f1"]))],
+            "macro_f1_pct": [int(round(10000 * res["macro_f1"]))],
+        }
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "top_orders_revenue": (top_orders_revenue, TOP_ORDERS_SQL),
+    "nation_customer_stats": (nation_customer_stats, NATION_CUST_SQL),
+    "brand_revenue_topk": (brand_revenue_topk, BRAND_SQL),
+    "order_priority_count": (order_priority_count, ORDER_PRIO_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_props_sum": (events_props_sum, EVENTS_PROPS_SQL),
+    "doc_token_counts": (doc_token_counts, DOC_TOKENS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_pattern_hist": (doc_pattern_hist, DOC_PATTERN_SQL),
+    "doc_langid": (doc_langid, DOC_LANGID_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "ann_topk_cosine": (ann_topk_cosine, ANN_SQL),
+    # non-SQL-expressible ops -> rows-only driver check; strength comes from
+    # pytest (recall vs brute force, cluster ground truth, oracle parity)
+    "ann_ivf_cosine": (ann_ivf_cosine, None),
+    "dedup_minhash_docs": (dedup_minhash_docs, None),
+    "dedup_simhash_docs": (dedup_simhash_docs, None),
+    "doc_fingerprints": (doc_fingerprints, None),
+    "kg_triples": (kg_triples, None),
+    "kg_nodes": (kg_nodes, None),
+    "kg_mentions": (kg_mentions, None),
+    "kg_parity_metrics": (kg_parity_metrics, None),
+    "kg_span_f1": (kg_span_f1, None),
+}

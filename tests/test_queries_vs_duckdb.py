@@ -1,0 +1,91 @@
+"""Driver-style correctness gate, run locally: every SQL-backed queries()
+entry must match its DuckDB oracle on row count, column names, and values
+(order-insensitive), at sf0.001 for speed (the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def catalog(ray_session):
+    from split_ner_ray.queries import QUERIES
+
+    return QUERIES
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+SQL_BACKED = [
+    "q1_pricing_summary", "top_orders_revenue", "nation_customer_stats",
+    "brand_revenue_topk", "order_priority_count", "events_hourly",
+    "events_sessions", "events_props_sum", "doc_token_counts", "doc_quality",
+    "doc_pattern_hist", "doc_langid", "dedup_exact_docs", "ann_topk_cosine",
+]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(catalog, con, name):
+    fn, sql = catalog[name]
+    assert sql is not None
+    got = _norm(pd.DataFrame(fn(SF_DIR)))
+    want = _norm(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype != w.dtype:
+            g = g.astype(str)
+            w = w.astype(str)
+        assert g.tolist() == w.tolist(), f"column {c} differs: {g.head()} vs {w.head()}"
+
+
+ROWS_ONLY = [
+    "ann_ivf_cosine", "dedup_minhash_docs", "dedup_simhash_docs",
+    "doc_fingerprints", "kg_triples", "kg_nodes", "kg_mentions",
+    "kg_parity_metrics", "kg_span_f1",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(catalog, name):
+    fn, sql = catalog[name]
+    assert sql is None
+    out = pd.DataFrame(fn(SF_DIR))
+    assert out is not None
+    if name == "kg_parity_metrics":
+        row = out.iloc[0]
+        assert row["precision_pct"] == 10000 and row["recall_pct"] == 10000
+    if name == "kg_span_f1":
+        assert out.iloc[0]["micro_f1_pct"] == 10000
+    if name.startswith("kg_"):
+        assert len(out) > 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) >= {"subj_id", "pred", "obj_id", "support"}
