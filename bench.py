@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+  {"metric": "kg_build_wall_s", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": .., "num_cpus": N, ...}
+
+--scaling: run the same headline job in two fresh processes at 8 and 32
+CPUs on identical input and report both throughputs + scaling efficiency
+(the sandbox proxy for N vs 4N nodes, per BASELINE.md).
+
+The synthetic transcripts corpus is materialized (and page-cache warmed)
+before timing, so the measurement covers compute + shuffle, not one-time
+generation or cold reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _stderr(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from split_ner_ray import queries as Q
+    from split_ner_ray.pipelines.kg import build_graph_datasets
+    from split_ner_ray.synth import sf_of_dir, transcripts_path
+
+    # materialize + warm (untimed)
+    tpath = transcripts_path(sf_dir)
+    n_turns = rd.read_parquet(tpath).count()
+    _stderr(f"transcripts ready: {tpath} ({n_turns} turns)")
+
+    # headline: full KG construction, consumed by writing outputs
+    t0 = time.time()
+    cols = ["conv_id", "turn_idx", "text", "tool"]
+    actors = max(2, num_cpus // 4)
+    triples, nodes, edges, mentions = build_graph_datasets(
+        rd.read_parquet(tpath, columns=cols),
+        concurrency=(1, actors),
+        batch_size=1024,
+    )
+    out_dir = f"/tmp/bench_out/{os.getpid()}"
+    triples.write_parquet(os.path.join(out_dir, "triples"))
+    nodes.write_parquet(os.path.join(out_dir, "nodes"))
+    kg_wall = time.time() - t0
+    _stderr(f"kg build: {kg_wall:.1f}s ({n_turns / kg_wall:.0f} turns/s)")
+
+    qtimes = {}
+    for name in (
+        "q1_pricing_summary",
+        "events_sessions",
+        "doc_quality",
+        "dedup_minhash_docs",
+        "ann_topk_cosine",
+    ):
+        fn, _sql = Q.QUERIES[name]
+        t0 = time.time()
+        fn(sf_dir)
+        qtimes[name] = round(time.time() - t0, 3)
+        _stderr(f"{name}: {qtimes[name]}s")
+
+    result = {
+        "metric": "kg_build_wall_s",
+        "value": round(kg_wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_of_dir(sf_dir),
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / kg_wall, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        _stderr(f"num_cpus={n}: {out[n]['value']}s")
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "throughput_8": out[8]["turns_per_sec"],
+        "throughput_32": out[32]["turns_per_sec"],
+        "sf": out[32]["sf"],
+        "n_turns": out[32]["n_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

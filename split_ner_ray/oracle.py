@@ -71,36 +71,17 @@ def extract_raw_triples(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKEN
 
 
 def link_entities(mention_keys: list[tuple[str, str]]) -> dict[tuple[str, str], str]:
-    """(etype, norm_surface) -> canonical norm, via blocking + containment
-    similarity + union-find connected components (rules shared with the
-    distributed linker)."""
+    """(etype, norm_surface) -> canonical norm: block then canonicalize each
+    block with the SHARED rules.cluster_block (identical to the distributed
+    linker's per-block map_groups by construction)."""
     keys = sorted(set(mention_keys))
-    parent = {k: k for k in keys}
-
-    def find(k):
-        while parent[k] != k:
-            parent[k] = parent[parent[k]]
-            k = parent[k]
-        return k
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # deterministic root: min key
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-
     blocks: dict[str, list[tuple[str, str]]] = defaultdict(list)
     for et, norm in keys:
         blocks[rules.block_key(norm, et)].append((et, norm))
+    out: dict[tuple[str, str], str] = {}
     for bk in sorted(blocks):
-        members = blocks[bk]
-        grams = {k: rules.char_ngrams(k[1]) for k in members}
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                if rules.containment_sim(grams[members[i]], grams[members[j]]) >= rules.LINK_SIM_THRESHOLD:
-                    union(members[i], members[j])
-    return {k: find(k)[1] for k in keys}
+        out.update(rules.cluster_block(blocks[bk]))
+    return out
 
 
 def build_graph(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT):

@@ -92,62 +92,102 @@ class MinHasher:
         return prod.min(axis=1)
 
 
-def minhash_band_rows(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                      num_perm: int = 64, bands: int = 16, ngram: int = 3,
-                      seed: int = 7):
-    """docs -> (band, band_hash, id, sig) rows, one per band per doc."""
-    rows_per_band = num_perm // bands
+def minhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       num_perm: int = 64, ngram: int = 3, seed: int = 7):
+    """docs -> (id, sig) rows; sig = uint64 signature as fixed-size bytes
+    (one compact value per doc, never duplicated per band)."""
 
     class Sigs:
         def __init__(self):
             self.mh = MinHasher(num_perm, ngram, seed)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = {"band": [], "band_hash": [], "id": [], "sig": []}
-            for i, t in zip(batch[id_col].astype("int64"), batch[text_col]):
-                sig = self.mh.signature(t)
-                sig_list = sig.tolist()
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    out["band"].append(b)
-                    out["band_hash"].append(_h64(",".join(map(str, chunk.tolist()))) - (1 << 63))
-                    out["id"].append(int(i))
-                    out["sig"].append(sig_list)
-            return pd.DataFrame(out)
+            ids = batch[id_col].astype("int64").tolist()
+            sigs = [self.mh.signature(t).tobytes() for t in batch[text_col]]
+            return pd.DataFrame({"id": pd.array(ids, dtype="int64"), "sig": sigs})
 
     return ds.map_batches(Sigs, batch_format="pandas", concurrency=2, num_cpus=0.5)
 
 
-def candidate_pairs_from_bands(band_rows, *, verify_threshold: float = 0.7):
-    """groupby(band, band_hash) -> verified candidate pairs (src < dst).
+def minhash_band_rows(sig_ds, *, num_perm: int = 64, bands: int = 16):
+    """signatures -> (band, band_hash, id) integer rows — the only thing
+    the LSH shuffle moves."""
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"band": [], "band_hash": [], "id": []}
+        for i, sb in zip(batch["id"], batch["sig"]):
+            sig = np.frombuffer(sb, dtype=np.uint64)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out["band"].append(b)
+                out["band_hash"].append(_h64(chunk.tobytes().hex()) - (1 << 63))
+                out["id"].append(int(i))
+        return pd.DataFrame(
+            {
+                "band": pd.array(out["band"], dtype="int64"),
+                "band_hash": pd.array(out["band_hash"], dtype="int64"),
+                "id": pd.array(out["id"], dtype="int64"),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pandas")
+
+
+def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0.7):
+    """groupby(band, band_hash) -> candidate pairs (src < dst), deduped,
+    then verified against the broadcast signatures of candidate docs only
+    (candidates are a tiny fraction of the corpus; the at-scale fallback is
+    a partitioned join of pairs against the signature table).
+
     Verification = signature-estimated Jaccard >= threshold (the standard
     MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs."""
+    import ray
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["id"].tolist()
-        sigs = group["sig"].tolist()
-        uniq = {}
-        for i, s in zip(ids, sigs):
-            uniq[i] = s
-        items = sorted(uniq.items())
+        ids = sorted(set(group["id"].tolist()))
         src, dst = [], []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                ia, sa = items[x]
-                ib, sb = items[y]
-                est = float(np.mean(np.array(sa) == np.array(sb)))
-                if est >= verify_threshold:
-                    src.append(ia)
-                    dst.append(ib)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                src.append(ids[x])
+                dst.append(ids[y])
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(per_bucket, batch_format="pandas")
 
-    # the same pair can surface from several bands -> dedup on (src, dst)
     def first(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
 
-    return pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas")
+    pairs = pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas").materialize()
+
+    cand_ids = set()
+    for row in pairs.take_all():
+        cand_ids.add(row["src"])
+        cand_ids.add(row["dst"])
+    if not cand_ids:
+        return pairs
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["id"].isin(cand_ids)]
+
+    sig_map = {
+        r["id"]: np.frombuffer(r["sig"], dtype=np.uint64)
+        for r in sig_ds.map_batches(keep, batch_format="pandas").take_all()
+    }
+    ref = ray.put(sig_map)
+
+    class Verify:
+        def __init__(self):
+            self.sigs = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keepmask = []
+            for s, d in zip(batch["src"], batch["dst"]):
+                est = float(np.mean(self.sigs[int(s)] == self.sigs[int(d)]))
+                keepmask.append(est >= verify_threshold)
+            return batch[pd.Series(keepmask, index=batch.index)]
+
+    return pairs.map_batches(Verify, batch_format="pandas", concurrency=2, num_cpus=0.5)
 
 
 def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -157,11 +197,11 @@ def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Cluster rep = min doc id of the component (stages/graph.py CC)."""
     from .graph import connected_components
 
-    bandr = minhash_band_rows(
-        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        bands=bands, ngram=ngram, seed=seed,
-    )
-    pairs = candidate_pairs_from_bands(bandr, verify_threshold=verify_threshold)
+    sigs = minhash_signatures(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm, ngram=ngram, seed=seed
+    ).materialize()
+    bandr = minhash_band_rows(sigs, num_perm=num_perm, bands=bands)
+    pairs = candidate_pairs_from_bands(bandr, sigs, verify_threshold=verify_threshold)
     return connected_components(pairs)
 
 

@@ -81,35 +81,17 @@ def build_canon_map(keys_ds):
     surfaces per block (bounded by the blocking function's selectivity)."""
 
     def per_block(group: pa.Table) -> pa.Table:
-        members = sorted(
-            set(zip(group.column("etype").to_pylist(), group.column("norm").to_pylist()))
+        members = list(
+            zip(group.column("etype").to_pylist(), group.column("norm").to_pylist())
         )
-        parent = {k: k for k in members}
-
-        def find(k):
-            while parent[k] != k:
-                parent[k] = parent[parent[k]]
-                k = parent[k]
-            return k
-
-        grams = {k: rules.char_ngrams(k[1]) for k in members}
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, b = members[i], members[j]
-                if a[0] != b[0]:
-                    continue
-                if rules.containment_sim(grams[a], grams[b]) >= rules.LINK_SIM_THRESHOLD:
-                    ra, rb = find(a), find(b)
-                    if ra != rb:
-                        lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-                        parent[hi] = lo
+        canon = rules.cluster_block(members)  # SHARED rule core (oracle parity)
         cols = {n: [] for n in CANON_SCHEMA.names}
-        for k in members:
-            root = find(k)
+        for k in sorted(canon):
+            cn = canon[k]
             cols["etype"].append(k[0])
             cols["norm"].append(k[1])
-            cols["canonical_norm"].append(root[1])
-            cols["entity_id"].append(rules.entity_id(k[0], root[1]))
+            cols["canonical_norm"].append(cn)
+            cols["entity_id"].append(rules.entity_id(k[0], cn))
         return pa.Table.from_pydict(cols, schema=CANON_SCHEMA)
 
     return keys_ds.groupby("block").map_groups(per_block, batch_format="pyarrow")
@@ -138,13 +120,22 @@ class IdAssigner:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj_ids, obj_ids = [], []
-        for et, surf in zip(batch.column("subj_etype").to_pylist(), batch.column("subj_surface").to_pylist()):
-            subj_ids.append(self.eid[(et, rules.normalize_surface(surf))])
-        for et, surf in zip(batch.column("obj_etype").to_pylist(), batch.column("obj_surface").to_pylist()):
-            obj_ids.append(self.eid[(et, rules.normalize_surface(surf))])
-        return batch.append_column("subj_id", pa.array(subj_ids, pa.string())).append_column(
-            "obj_id", pa.array(obj_ids, pa.string())
+        # vectorized: surfaces repeat heavily, so normalize per DISTINCT
+        # surface and map once (dict lookups only on the small distinct set)
+        import pandas as pd
+
+        out_cols = []
+        for et_col, surf_col in (("subj_etype", "subj_surface"), ("obj_etype", "obj_surface")):
+            ets = batch.column(et_col).to_pandas()
+            surfs = batch.column(surf_col).to_pandas()
+            distinct = pd.DataFrame({"et": ets, "surf": surfs}).drop_duplicates()
+            lut = {
+                (et, s): self.eid[(et, rules.normalize_surface(s))]
+                for et, s in zip(distinct["et"], distinct["surf"])
+            }
+            out_cols.append([lut[(et, s)] for et, s in zip(ets, surfs)])
+        return batch.append_column("subj_id", pa.array(out_cols[0], pa.string())).append_column(
+            "obj_id", pa.array(out_cols[1], pa.string())
         )
 
 
@@ -159,34 +150,80 @@ def assign_entity_ids(raw_triples, canon_ref, *, concurrency=None):
     )
 
 
+# provenance tuple encoded into one sortable string so dedup can use a
+# hash aggregate (Min + Count) instead of a sort-based map_groups: conv_id
+# is fixed-width and turn_idx zero-padded, so lexicographic order on the
+# encoded string equals the oracle's tuple order (conv_id, turn_idx,
+# subj_surface, obj_surface). chr(31) (unit separator) never appears in
+# surfaces and sorts below all printable chars.
+_SEP = chr(31)
+
+
+def _encode_prov(conv_id: str, turn_idx: int, subj: str, obj: str) -> str:
+    return f"{conv_id}{_SEP}{turn_idx:010d}{_SEP}{subj}{_SEP}{obj}"
+
+
 def dedup_triples(ds_with_ids):
-    """groupby(subj_id, pred, obj_id) -> first provenance (min (conv_id,
-    turn_idx)) + support count (SHUFFLE 4, op D5). Deterministic across
-    block orderings because min/count are order-insensitive."""
+    """groupby(subj_id, pred, obj_id) -> first provenance (min tuple) +
+    support count (SHUFFLE 4, op D5) via a single Min/Count aggregate over
+    vector-encoded provenance strings (no sort-based map_groups, no
+    per-batch combiner — at ~5 occurrences per distinct triple the combiner
+    cost more than the shuffle it saved). Deterministic across block
+    orderings because min/count are order-insensitive."""
     from ..schemas import TRIPLES
 
-    def per_group(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group,
-            sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"),
-                       ("subj_surface", "ascending"), ("obj_surface", "ascending")],
-        )
-        first = group.take(order[:1])
-        cols = {
-            "subj_id": first.column("subj_id"),
-            "pred": first.column("pred"),
-            "obj_id": first.column("obj_id"),
-            "conv_id": first.column("conv_id"),
-            "turn_idx": first.column("turn_idx"),
-            "subj_surface": first.column("subj_surface"),
-            "obj_surface": first.column("obj_surface"),
-            "support": pa.array([group.num_rows], pa.int64()),
-        }
-        return pa.Table.from_pydict(cols, schema=TRIPLES)
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
 
-    return ds_with_ids.groupby(["subj_id", "pred", "obj_id"]).map_groups(
-        per_group, batch_format="pyarrow"
-    )
+        enc = (
+            batch["conv_id"]
+            .str.cat(batch["turn_idx"].astype(str).str.zfill(10), sep=_SEP)
+            .str.cat(batch["subj_surface"], sep=_SEP)
+            .str.cat(batch["obj_surface"], sep=_SEP)
+        )
+        return pd.DataFrame(
+            {
+                "subj_id": batch["subj_id"],
+                "pred": batch["pred"],
+                "obj_id": batch["obj_id"],
+                "prov": enc,
+            }
+        )
+
+    from .relational import hash_aggregate
+
+    encoded = ds_with_ids.map_batches(encode, batch_format="pandas", batch_size=16384)
+
+    def agg_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+            prov=("prov", "min"), support=("prov", "size")
+        )
+
+    agg = hash_aggregate(encoded, ["subj_id", "pred", "obj_id"], agg_fn)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        convs, turns, ssurfs, osurfs = [], [], [], []
+        for enc in batch.column("prov").to_pylist():
+            conv, turn, ssurf, osurf = enc.split(_SEP)
+            convs.append(conv)
+            turns.append(int(turn))
+            ssurfs.append(ssurf)
+            osurfs.append(osurf)
+        return pa.Table.from_pydict(
+            {
+                "subj_id": batch.column("subj_id"),
+                "pred": batch.column("pred"),
+                "obj_id": batch.column("obj_id"),
+                "conv_id": convs,
+                "turn_idx": turns,
+                "subj_surface": ssurfs,
+                "obj_surface": osurfs,
+                "support": pc.cast(batch.column("support"), pa.int64()),
+            },
+            schema=TRIPLES,
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def build_nodes(mentions_flat, raw_triples, canon_ref, *, concurrency=None):
@@ -235,8 +272,34 @@ def build_nodes(mentions_flat, raw_triples, canon_ref, *, concurrency=None):
                 "canonical_norm", pa.array(cns, pa.string())
             )
 
+    # canonical-surface choice as a hash aggregate: eligible surfaces (norm
+    # == canonical norm) are prefixed "0", others "1" -> Min picks the
+    # lexicographically smallest eligible surface, falling back to the
+    # smallest surface overall — exactly the oracle contract — without a
+    # sort-based map_groups.
+    class SurfKey(NodeFinalizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = super().__call__(batch)
+            keys = []
+            for surf, norm, cn in zip(
+                batch.column("surface").to_pylist(),
+                batch.column("norm").to_pylist(),
+                batch.column("canonical_norm").to_pylist(),
+            ):
+                keys.append(("0" if norm == cn else "1") + surf)
+            return pa.Table.from_pydict(
+                {
+                    "entity_id": batch.column("entity_id"),
+                    "etype": batch.column("etype"),
+                    "surf_key": keys,
+                    "n": batch.column("n"),
+                }
+            )
+
+    from .relational import hash_aggregate
+
     occ = occ.map_batches(
-        NodeFinalizer,
+        SurfKey,
         fn_constructor_kwargs={"canon_ref": canon_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -244,27 +307,25 @@ def build_nodes(mentions_flat, raw_triples, canon_ref, *, concurrency=None):
         num_cpus=0.5,
     )
 
-    def per_node(group: pa.Table) -> pa.Table:
-        etype = group.column("etype").to_pylist()[0]
-        eid = group.column("entity_id").to_pylist()[0]
-        cn = group.column("canonical_norm").to_pylist()[0]
-        surfs = group.column("surface").to_pylist()
-        counts = group.column("n").to_pylist()
-        # canonical surface: lexicographically smallest original surface
-        # whose normalized form equals the canonical norm (oracle contract)
-        exact = sorted(s for s in surfs if rules.normalize_surface(s) == cn)
-        canonical = exact[0] if exact else min(surfs)
+    def node_agg(g):
+        return g.groupby(["entity_id", "etype"], as_index=False).agg(
+            surf_key=("surf_key", "min"), n_mentions=("n", "sum")
+        )
+
+    agg = hash_aggregate(occ, ["entity_id"], node_agg)
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "entity_id": [eid],
-                "canonical_surface": [canonical],
-                "etype": [etype],
-                "n_mentions": [int(sum(counts))],
+                "entity_id": batch.column("entity_id"),
+                "canonical_surface": [s[1:] for s in batch.column("surf_key").to_pylist()],
+                "etype": batch.column("etype"),
+                "n_mentions": pc.cast(batch.column("n_mentions"), pa.int64()),
             },
             schema=NODES,
         )
 
-    return occ.groupby("entity_id").map_groups(per_node, batch_format="pyarrow")
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _occ_table(pairs) -> pa.Table:
@@ -288,20 +349,19 @@ def _occ_table(pairs) -> pa.Table:
 
 
 def build_edges(triples_ds):
-    """EDGES table: groupby(src,dst,pred) summed support."""
+    """EDGES table: pure projection — deduped triples are already unique on
+    (subj_id, pred, obj_id), so edges need no shuffle at all."""
     from ..schemas import EDGES
 
-    def per_edge(group: pa.Table) -> pa.Table:
+    def project(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "src_id": group.column("subj_id").slice(0, 1),
-                "dst_id": group.column("obj_id").slice(0, 1),
-                "pred": group.column("pred").slice(0, 1),
-                "weight": pa.array([int(pc.sum(group.column("support")).as_py())], pa.int64()),
+                "src_id": batch.column("subj_id"),
+                "dst_id": batch.column("obj_id"),
+                "pred": batch.column("pred"),
+                "weight": batch.column("support"),
             },
             schema=EDGES,
         )
 
-    return triples_ds.groupby(["subj_id", "obj_id", "pred"]).map_groups(
-        per_edge, batch_format="pyarrow"
-    )
+    return triples_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

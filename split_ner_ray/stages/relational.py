@@ -102,6 +102,40 @@ def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def hash_aggregate(ds, keys: list[str], agg_fn, *, num_buckets: int = 64):
+    """Grouped aggregation via explicit hash bucketing: bucket = hash(key)
+    % B as an int column, ONE cheap int-key shuffle, then a pandas hash
+    groupby per bucket (C-speed). Avoids Ray's sort-based groupby, which
+    global-sorts the whole dataset by string keys — profiled 10x slower on
+    many-group aggregations (70k groups / 357k rows: 41s sort-based vs ~4s
+    bucketed).
+
+    ``agg_fn``: DataFrame -> DataFrame, applied per bucket; it must itself
+    group by ``keys`` (each key lives in exactly one bucket, so per-bucket
+    results are globally correct).
+    """
+    sep = chr(30)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch[keys[0]].astype("string").fillna("")
+        for c in keys[1:]:
+            key = key + sep + batch[c].astype("string").fillna("")
+        batch = batch.copy()
+        batch["__bucket"] = (
+            pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        return batch
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(group.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=16384)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def topk(ds, by: list[tuple[str, bool]], k: int):
     """Top-k rows without a global sort: local per-batch top-k, then one
     final top-k over the concatenated partials.

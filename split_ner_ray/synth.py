@@ -150,7 +150,9 @@ def gen_conv_range(seed: int, lo: int, hi: int, n_convs: int, shuffle: bool = Tr
 
 
 def n_convs_for_sf(sf: float) -> int:
-    return max(20, int(25_000 * sf))
+    # ~18 turns/conv mean + hot conversations: sf0.001 ~5k turns (smoke),
+    # sf0.01 ~45k (correctness), sf0.1 ~450k (bench) — FIXTURES.md F1 scales
+    return max(20, int(250_000 * sf))
 
 
 def sf_of_dir(sf_dir: str) -> float:
@@ -170,17 +172,24 @@ def transcripts_path(sf_dir: str, seed: int = 42) -> str:
     from many processes (atomic rename commit)."""
     sf = sf_of_dir(sf_dir)
     n_convs = n_convs_for_sf(sf)
-    out = f"/tmp/graft_transcripts/sf{sf}_seed{seed}"
+    out = f"/tmp/graft_transcripts/sf{sf}_n{n_convs}_seed{seed}"
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    # shard into files of ~500 conversations for parallel reads
+    # shard into files of ~500 conversations (conv-disjoint shards — the
+    # documented input-layout assumption); generate via Ray when a session
+    # is live and the corpus is big, else driver-side
     step = 500
-    for i, lo in enumerate(range(0, n_convs, step)):
-        tbl = gen_conv_range(seed, lo, min(lo + step, n_convs), n_convs)
-        pq.write_table(tbl, os.path.join(tmp, f"part-{i:05d}.parquet"))
+    import ray
+
+    if n_convs >= 2000 and ray.is_initialized():
+        gen_transcripts_dataset(n_convs, seed, convs_per_block=step).write_parquet(tmp)
+    else:
+        for i, lo in enumerate(range(0, n_convs, step)):
+            tbl = gen_conv_range(seed, lo, min(lo + step, n_convs), n_convs)
+            pq.write_table(tbl, os.path.join(tmp, f"part-{i:05d}.parquet"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
     try:
         os.rename(tmp, out)

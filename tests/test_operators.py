@@ -126,11 +126,17 @@ def test_simhash_pairs(rd):
 
 
 def test_verify_jaccard(rd):
-    from split_ner_ray.stages.dedup import minhash_band_rows, candidate_pairs_from_bands, verify_jaccard_pairs
+    from split_ner_ray.stages.dedup import (
+        candidate_pairs_from_bands,
+        minhash_band_rows,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
 
     df = _dup_docs()
     docs = rd.from_pandas(df)
-    pairs = candidate_pairs_from_bands(minhash_band_rows(docs), verify_threshold=0.3)
+    sigs = minhash_signatures(docs).materialize()
+    pairs = candidate_pairs_from_bands(minhash_band_rows(sigs), sigs, verify_threshold=0.3)
     verified = verify_jaccard_pairs(pairs, docs, threshold=0.5).to_pandas()
     assert set(zip(verified["src"], verified["dst"])) == {(1, 2)}
     assert (verified["jaccard"] > 0.5).all()
