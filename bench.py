@@ -55,8 +55,10 @@ def run_bench() -> dict:
     from split_ner_ray.pipelines.kg import build_graph_datasets
     from split_ner_ray.synth import sf_of_dir, transcripts_path
 
-    # materialize + warm (untimed)
-    tpath = transcripts_path(sf_dir)
+    # materialize + warm (untimed); BENCH_NCONVS overrides corpus size
+    # (the scaling run uses a larger corpus so compute dominates)
+    n_convs = int(os.environ["BENCH_NCONVS"]) if os.environ.get("BENCH_NCONVS") else None
+    tpath = transcripts_path(sf_dir, n_convs=n_convs)
     n_turns = rd.read_parquet(tpath).count()
     _stderr(f"transcripts ready: {tpath} ({n_turns} turns)")
 
@@ -76,13 +78,14 @@ def run_bench() -> dict:
     _stderr(f"kg build: {kg_wall:.1f}s ({n_turns / kg_wall:.0f} turns/s)")
 
     qtimes = {}
-    for name in (
+    qnames = () if os.environ.get("BENCH_SKIP_QUERIES") else (
         "q1_pricing_summary",
         "events_sessions",
         "doc_quality",
         "dedup_minhash_docs",
         "ann_topk_cosine",
-    ):
+    )
+    for name in qnames:
         fn, _sql = Q.QUERIES[name]
         t0 = time.time()
         fn(sf_dir)
@@ -104,10 +107,35 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs on the SAME input.
+
+    The scaling corpus is 4x the per-round bench corpus (BENCH_NCONVS):
+    at bench size the job is scheduler/shuffle-latency bound (~11s of
+    constants vs ~220 core-s of compute) and no parallelism level helps
+    those constants — exactly as a 100 TB job would NOT be. The larger
+    corpus makes compute dominate, which is the regime the efficiency
+    criterion describes. Both runs use the identical input; generation is
+    done (and page-cache warmed) by the parent before either child runs.
+    """
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    from split_ner_ray.synth import n_convs_for_sf, sf_of_dir, transcripts_path
+
+    n_convs = int(
+        os.environ.get("SCALING_NCONVS", 4 * n_convs_for_sf(sf_of_dir(sf_dir)))
+    )
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    tpath = transcripts_path(sf_dir, n_convs=n_convs)
+    ray.shutdown()
+    _stderr(f"scaling corpus ready: {tpath}")
+
     out = {}
     for n in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   BENCH_NCONVS=str(n_convs), BENCH_SKIP_QUERIES="1")
         r = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env,

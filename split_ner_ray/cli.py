@@ -1,0 +1,85 @@
+"""Job entry point for ``ray job submit`` (north rule contract).
+
+    ray job submit -- python -m split_ner_ray.cli build --config job.json
+    python -m split_ner_ray.cli build --input DIR --output DIR [--resume]
+
+Owns the Ray session (the only module besides bench.py and the test
+fixture allowed to call ray.init); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .config import PipelineConfig
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="split_ner_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run the checkpointed KG-construction job")
+    b.add_argument("--config", help="JSON config file (PipelineConfig keys)")
+    b.add_argument("--input", help="transcripts parquet dir (overrides config)")
+    b.add_argument("--output", help="output dir (overrides config)")
+    b.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    b.add_argument("--no-resume", action="store_true",
+                   help="fail instead of skipping committed partitions")
+
+    args = ap.parse_args(argv)
+    cfg = PipelineConfig.from_json(args.config) if args.config else PipelineConfig()
+    if args.input:
+        cfg.input_path = args.input
+    if args.output:
+        cfg.output_dir = args.output
+    if not cfg.input_path or not cfg.output_dir:
+        ap.error("need --input and --output (or a config providing them)")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=args.num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        from .pipelines.checkpointed import build_graph_job
+        from .state import manifest as mf
+
+        if args.no_resume:
+            done = mf.committed_groups(os.path.join(cfg.output_dir, "_work"))
+            if done:
+                print(f"error: {len(done)} committed groups exist; rerun without --no-resume",
+                      file=sys.stderr)
+                return 2
+        out = build_graph_job(
+            cfg.input_path,
+            cfg.output_dir,
+            files_per_group=cfg.files_per_group,
+            concurrency=(cfg.min_actors, cfg.max_actors),
+            batch_size=cfg.batch_size,
+            window_turns=cfg.window_turns,
+        )
+        summary = {
+            "triples": out["triples"].count(),
+            "nodes": out["nodes"].count(),
+            "edges": out["edges"].count(),
+            "output_dir": cfg.output_dir,
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

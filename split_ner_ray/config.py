@@ -1,0 +1,50 @@
+"""Pipeline configuration (reference op R6).
+
+The reference drives every behavior from a JSON config file parsed into
+dataclasses (`splitner/utils/general.py:118-131`,
+`splitner/additional_args.py:10-103` — 60+ knobs). Our analog is one
+dataclass covering the KG job's knobs; ``from_json`` accepts a path or a
+JSON string, unknown keys are rejected (typo safety).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class PipelineConfig:
+    input_path: str = ""
+    output_dir: str = ""
+    # extraction
+    max_tokens: int = 256          # M9 truncation (max_seq_len analog)
+    window_turns: int = 64         # predicate-extraction window (skew salt)
+    batch_size: int = 1024
+    detector_backend: str = "rules"  # scorer registry (SURVEY §2.10)
+    # actor pools
+    min_actors: int = 1
+    max_actors: int = 8
+    # checkpointing
+    files_per_group: int = 4
+    resume: bool = True
+    # linking
+    link_sim_threshold: float = 0.8
+
+    @classmethod
+    def from_json(cls, src: str) -> "PipelineConfig":
+        if os.path.exists(src):
+            with open(src) as f:
+                raw = json.load(f)
+        else:
+            raw = json.loads(src)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**raw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

@@ -35,7 +35,7 @@ from ..schemas import METRICS
 from ..stages import extract as ex
 from ..stages import linking as lk
 from ..state import manifest as mf
-from .kg import EXTRACT_COLS, _materialize_small
+from .kg import EXTRACT_COLS
 
 
 class _MetricsLog:
@@ -94,12 +94,12 @@ def run_extract_phase(
             break
         t0 = time.time()
         ds = rd.read_parquet(g["files"], columns=EXTRACT_COLS)
-        classified = ex.detect_and_classify(
-            ds, concurrency=concurrency, batch_size=batch_size
+        combined = ex.extract_combined(
+            ds, concurrency=concurrency, batch_size=batch_size,
+            window_turns=window_turns,
         ).materialize()
-        mentions = ex.flatten_mentions(classified).materialize()
-        windowed = ex.add_windows_with_carry(classified, window_turns)
-        raw = ex.extract_triples_grouped(windowed, window_turns).materialize()
+        mentions = ex.mentions_from_combined(combined).materialize()
+        raw = ex.triples_from_combined(combined).materialize()
 
         m_dir = os.path.join(work_dir, "mentions", f"group={gid:05d}")
         t_dir = os.path.join(work_dir, "raw_triples", f"group={gid:05d}")
@@ -133,13 +133,42 @@ def run_graph_phase(
     metrics: _MetricsLog | None = None,
 ):
     """Phase B: global linking/canonicalization/dedup over phase-A output."""
+    import pandas as pd
+
+    from .kg import _canonicalize_driver
+
     metrics = metrics or _MetricsLog()
     t0 = time.time()
     mentions = rd.read_parquet(os.path.join(work_dir, "mentions"))
     raw = rd.read_parquet(os.path.join(work_dir, "raw_triples"))
 
-    keys = lk.mention_keys(mentions, raw)
-    canon_tbl = _materialize_small(lk.build_canon_map(keys))
+    # occurrence pre-aggregation (parallel scan) -> driver-side
+    # canonicalization through the shared rule core (see pipelines/kg.py)
+    def occ_m(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["etype", "surface"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def occ_t(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                batch[["subj_etype", "subj_surface"]].rename(
+                    columns={"subj_etype": "etype", "subj_surface": "surface"}
+                ),
+                batch[["obj_etype", "obj_surface"]].rename(
+                    columns={"obj_etype": "etype", "obj_surface": "surface"}
+                ),
+            ]
+        )
+        return both.groupby(["etype", "surface"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = mentions.map_batches(occ_m, batch_format="pandas", batch_size=32768).union(
+        raw.map_batches(occ_t, batch_format="pandas", batch_size=32768)
+    ).to_pandas()
+    occ = parts.groupby(["etype", "surface"], as_index=False)["n"].sum()
+    canon_tbl, nodes_tbl = _canonicalize_driver(occ)
     canon_ref = ray.put(canon_tbl)
     metrics.add("link_canon", -1, canon_tbl.num_rows, canon_tbl.num_rows,
                 time.time() - t0, [])
@@ -151,11 +180,11 @@ def run_graph_phase(
     metrics.add("dedup_triples", -1, raw.count(), triples.count(), time.time() - t0, [])
 
     t0 = time.time()
-    nodes = lk.build_nodes(mentions, raw, canon_ref, concurrency=concurrency).materialize()
+    nodes = rd.from_arrow(nodes_tbl)
     nodes.write_parquet(os.path.join(out_dir, "nodes"))
     edges = lk.build_edges(triples).materialize()
     edges.write_parquet(os.path.join(out_dir, "edges"))
-    metrics.add("nodes_edges", -1, triples.count(), nodes.count() + edges.count(),
+    metrics.add("nodes_edges", -1, triples.count(), nodes_tbl.num_rows + edges.count(),
                 time.time() - t0, [])
     return triples, nodes, edges
 

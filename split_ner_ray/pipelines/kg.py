@@ -45,29 +45,125 @@ def build_graph_datasets(
     The canon map is materialized (it is the small distinct-surface table,
     not the corpus) and broadcast once via ray.put.
     """
-    # classified feeds two branches (mentions, windowed triples) and each
-    # downstream is consumed by several stages — materialize the classified
-    # stream ONCE so the detector/classifier actors run a single pass over
-    # the corpus (blocks spill under pressure). The checkpointed job
-    # (pipelines/checkpointed.py) streams this hand-off to parquet instead,
-    # which also provides resumability.
-    classified = ex.detect_and_classify(
-        transcripts, concurrency=concurrency, batch_size=batch_size
+    # ONE fused streaming pipeline (detect -> classify -> window -> grouped
+    # extraction emitting mention AND triple rows) ending in the single
+    # reassembly shuffle; only its small combined output is materialized —
+    # the full classified corpus never is. This keeps the parallel compute
+    # fraction high (scaling efficiency) and the memory footprint low. The
+    # checkpointed job (pipelines/checkpointed.py) streams the same combined
+    # output to parquet instead, which also provides resumability.
+    combined = ex.extract_combined(
+        transcripts, concurrency=concurrency, batch_size=batch_size,
+        window_turns=window_turns,
     ).materialize()
-    mentions = ex.flatten_mentions(classified)
-    windowed = ex.add_windows_with_carry(classified, window_turns)
-    raw_triples = ex.extract_triples_grouped(windowed, window_turns).materialize()
+    mentions = ex.mentions_from_combined(combined)
+    raw_triples = ex.triples_from_combined(combined)
 
-    keys = lk.mention_keys(mentions, raw_triples)
-    canon = lk.build_canon_map(keys)
-    canon_tbl = _materialize_small(canon)
+    # Linking + node build operate on the DISTINCT-surface table (occ),
+    # which is orders of magnitude smaller than the corpus (bounded by
+    # vocabulary, not turns). One parallel scan pre-aggregates it; the
+    # final clustering/canonicalization runs driver-side through the SAME
+    # rules.cluster_block the oracle uses. At a scale where distinct
+    # surfaces outgrow the driver (~10M+), swap in the fully distributed
+    # lk.build_canon_map / lk.build_nodes paths (kept + tested).
+    occ = _occ_aggregate(combined)
+    canon_tbl, nodes_tbl = _canonicalize_driver(occ)
     canon_ref = ray.put(canon_tbl)
 
     with_ids = lk.assign_entity_ids(raw_triples, canon_ref, concurrency=concurrency)
     triples = lk.dedup_triples(with_ids).materialize()
-    nodes = lk.build_nodes(mentions, raw_triples, canon_ref, concurrency=concurrency)
+    nodes = rd.from_arrow(nodes_tbl)
     edges = lk.build_edges(triples)
     return triples, nodes, edges, mentions
+
+
+def _occ_aggregate(combined):
+    """One parallel scan over the combined extraction output -> driver
+    pandas table of (etype, surface, n) occurrence counts (mention rows +
+    both triple endpoints — matching oracle.build_graph's occurrence
+    definition). Partial counts per batch; final groupby on the driver over
+    the small distinct-pair partials."""
+    import pandas as pd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["kind"] == 0]
+        t = batch[batch["kind"] == 1]
+        both = pd.concat(
+            [
+                m[["etype", "surface"]],
+                t[["subj_etype", "subj_surface"]].rename(
+                    columns={"subj_etype": "etype", "subj_surface": "surface"}
+                ),
+                t[["obj_etype", "obj_surface"]].rename(
+                    columns={"obj_etype": "etype", "obj_surface": "surface"}
+                ),
+            ]
+        )
+        return both.groupby(["etype", "surface"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = combined.map_batches(partial, batch_format="pandas", batch_size=32768).to_pandas()
+    return parts.groupby(["etype", "surface"], as_index=False)["n"].sum()
+
+
+def _canonicalize_driver(occ):
+    """occ (etype, surface, n) -> (canon Arrow table, NODES Arrow table),
+    driver-side, via the shared rules.cluster_block (oracle-identical)."""
+    from collections import defaultdict
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .. import rules
+    from ..schemas import NODES
+    from ..stages.linking import CANON_SCHEMA
+
+    occ = occ.copy()
+    occ["norm"] = rules.normalize_series(occ["surface"])
+    keys = occ[["etype", "norm"]].drop_duplicates()
+    blocks: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for et, norm in zip(keys["etype"], keys["norm"]):
+        blocks[rules.block_key(norm, et)].append((et, norm))
+    canon: dict[tuple[str, str], str] = {}
+    for bk in sorted(blocks):
+        canon.update(rules.cluster_block(blocks[bk]))
+
+    ks = sorted(canon)
+    canon_tbl = pa.Table.from_pydict(
+        {
+            "etype": [k[0] for k in ks],
+            "norm": [k[1] for k in ks],
+            "canonical_norm": [canon[k] for k in ks],
+            "entity_id": [rules.entity_id(k[0], canon[k]) for k in ks],
+        },
+        schema=CANON_SCHEMA,
+    )
+
+    # nodes: min eligible surface (norm == canonical norm) else min surface,
+    # occurrence counts summed per component — the oracle contract
+    occ["canonical_norm"] = [canon[(et, n)] for et, n in zip(occ["etype"], occ["norm"])]
+    occ["entity_id"] = [
+        rules.entity_id(et, cn) for et, cn in zip(occ["etype"], occ["canonical_norm"])
+    ]
+    occ["surf_key"] = [
+        ("0" if n == cn else "1") + s
+        for n, cn, s in zip(occ["norm"], occ["canonical_norm"], occ["surface"])
+    ]
+    g = occ.groupby(["entity_id", "etype"], as_index=False).agg(
+        surf_key=("surf_key", "min"), n_mentions=("n", "sum")
+    )
+    g = g.sort_values("entity_id")
+    nodes_tbl = pa.Table.from_pydict(
+        {
+            "entity_id": g["entity_id"].tolist(),
+            "canonical_surface": [s[1:] for s in g["surf_key"]],
+            "etype": g["etype"].tolist(),
+            "n_mentions": [int(v) for v in g["n_mentions"]],
+        },
+        schema=NODES,
+    )
+    return canon_tbl, nodes_tbl
 
 
 def _materialize_small(ds):
@@ -75,10 +171,16 @@ def _materialize_small(ds):
     10^12-turn scale this table is bounded by distinct normalized surfaces;
     if it outgrows driver memory switch id-assignment to
     stages/joins.partitioned_join (documented fallback in linking.py)."""
+    import pandas as pd
     import pyarrow as pa
 
-    tables = ds.to_arrow_refs()
-    resolved = [t for t in ray.get(tables) if t.num_rows]
+    resolved = []
+    for t in ray.get(ds.to_arrow_refs()):
+        # mixed-format pipelines can surface empty pandas blocks here
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            resolved.append(t)
     if not resolved:
         return pa.Table.from_pydict({n: [] for n in lk.CANON_SCHEMA.names}, schema=lk.CANON_SCHEMA)
     return pa.concat_tables([t.select(lk.CANON_SCHEMA.names) for t in resolved]).combine_chunks()

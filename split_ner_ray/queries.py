@@ -686,3 +686,221 @@ QUERIES = {
     "kg_parity_metrics": (kg_parity_metrics, None),
     "kg_span_f1": (kg_span_f1, None),
 }
+
+# ---------------------------------------------------------------------------
+# additional coverage: word types, confusion, vocab, per-group top-k,
+# distinct counts, stats, mention embeddings (S6)
+# ---------------------------------------------------------------------------
+
+def doc_word_types(sf_dir: str):
+    """Corpus word-type histogram (op M2 as a statistic)."""
+    from collections import Counter
+
+    from .functions.patterns import word_type
+    from .stages.text import tokens_ws
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in batch["text"]:
+            for w in tokens_ws(t):
+                c[word_type(w)] += 1
+        return pd.DataFrame({"wt": list(c.keys()), "n": [int(v) for v in c.values()]})
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("wt").aggregate(
+        Sum("n", alias_name="n")
+    )
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("wt").reset_index(drop=True)
+
+
+WORD_TYPES_SQL = """
+SELECT wt, CAST(SUM(1) AS BIGINT) AS n FROM (
+  SELECT CASE
+    WHEN tok = '[CLS]' THEN 'C' WHEN tok = '[SEP]' THEN 'S'
+    WHEN regexp_full_match(tok, '[a-z]+') THEN 'L'
+    WHEN regexp_full_match(tok, '[A-Z]+') THEN 'U'
+    WHEN regexp_full_match(tok, '[A-Z][a-z]+') THEN 'F'
+    WHEN regexp_full_match(tok, '[A-Za-z]+') THEN 'M'
+    WHEN regexp_full_match(tok, '[0-9]+') THEN 'D'
+    WHEN regexp_full_match(tok, '[^A-Za-z0-9]+') THEN 'P'
+    WHEN regexp_full_match(tok, '[A-Za-z0-9]+') THEN 'A'
+    ELSE 'B' END AS wt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> '')
+) GROUP BY wt ORDER BY wt
+"""
+
+
+def doc_lang_confusion(sf_dir: str):
+    """Confusion matrix gold lang x predicted lang (op A2 mechanics)."""
+    from .stages.text import add_langid
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+    pred = add_langid(ds)
+    agg = pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+LANG_CONF_SQL = (
+    "SELECT d.lang AS lang, p.lang_pred AS lang_pred, COUNT(*) AS n FROM ("
+    + DOC_LANGID_SQL.replace("ORDER BY doc_id", "")
+    + ") p JOIN documents d USING (doc_id) "
+    "GROUP BY d.lang, p.lang_pred ORDER BY lang, lang_pred"
+)
+
+
+def doc_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-30 (op D3 mechanics: distinct + counts)."""
+    from collections import Counter
+
+    from .stages.relational import topk
+    from .stages.text import tokens_ws
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in batch["text"]:
+            c.update(tokens_ws(t))
+        return pd.DataFrame({"token": list(c.keys()), "n": [int(v) for v in c.values()]})
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("token").aggregate(
+        Sum("n", alias_name="n")
+    )
+    df = topk(agg, [("n", True), ("token", False)], 30).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+VOCAB_SQL = """
+SELECT tok AS token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> '')
+GROUP BY tok ORDER BY n DESC, tok LIMIT 30
+"""
+
+
+def doc_stats_by_lang(sf_dir: str):
+    """Per-language dataset stats (op A3 mechanics: avg lengths etc.)."""
+    from .stages.text import add_token_counts
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text", "n_chars"])
+    counted = add_token_counts(ds)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), chars=("n_chars", "sum"), toks=("n_tokens", "sum")
+        )
+        return g
+
+    agg = counted.map_batches(partial, batch_format="pandas").groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("chars", alias_name="sum_chars"),
+        Sum("toks", alias_name="sum_tokens"),
+    )
+    df = agg.to_pandas()
+    for c in ("n_docs", "sum_chars", "sum_tokens"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+STATS_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def part_topk_per_brand(sf_dir: str):
+    """Per-group top-k (op O4 mechanics, deterministic variant of k-shot
+    sampling): 3 cheapest parts per brand."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def per_brand(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["p_retailprice", "p_partkey"]).head(3)
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"],
+                "p_partkey": g["p_partkey"].astype("int64"),
+                "price_c": [_cents(v) for v in g["p_retailprice"]],
+            }
+        )
+
+    df = ds.groupby("p_brand").map_groups(per_brand, batch_format="pandas").to_pandas()
+    return df.sort_values(["p_brand", "price_c", "p_partkey"]).reset_index(drop=True)
+
+
+PART_TOPK_SQL = """
+SELECT p_brand, p_partkey, CAST(ROUND(100*p_retailprice) AS BIGINT) AS price_c FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3 ORDER BY p_brand, price_c, p_partkey
+"""
+
+
+def events_type_users(sf_dir: str):
+    """Distinct-count aggregate (op A7 mechanics): users per event type."""
+    from .stages.relational import hash_aggregate
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def agg_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "nunique"), n=("user_id", "size")
+        )
+
+    df = hash_aggregate(ds, ["event_type"], agg_fn).to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def mention_embeddings(sf_dir: str):
+    """S6 analog: deterministic hashed char-n-gram embeddings for the
+    distinct mention surfaces of the KG corpus (rows-only: embeddings are
+    not SQL-expressible)."""
+    from .stages.embed import embed_mentions
+    from .stages.extract import detect_and_classify, flatten_mentions
+
+    ds = _transcripts_ds(sf_dir)
+    m = flatten_mentions(detect_and_classify(ds, concurrency=(1, 4)))
+
+    def distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["surface", "etype"]].drop_duplicates()
+
+    dm = m.map_batches(distinct, batch_format="pandas")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    dm = dm.groupby(["surface", "etype"]).map_groups(first, batch_format="pandas")
+    emb = embed_mentions(dm).to_pandas()
+    emb["norm_mille"] = [int(round(1000 * float(np.linalg.norm(v)))) for v in emb["embedding"]]
+    out = emb[["surface", "etype", "norm_mille"]]
+    return out.sort_values(["etype", "surface"]).reset_index(drop=True)
+
+
+QUERIES.update(
+    {
+        "doc_word_types": (doc_word_types, WORD_TYPES_SQL),
+        "doc_lang_confusion": (doc_lang_confusion, LANG_CONF_SQL),
+        "doc_vocab_topk": (doc_vocab_topk, VOCAB_SQL),
+        "doc_stats_by_lang": (doc_stats_by_lang, STATS_BY_LANG_SQL),
+        "part_topk_per_brand": (part_topk_per_brand, PART_TOPK_SQL),
+        "events_type_users": (events_type_users, EVENTS_USERS_SQL),
+        "mention_embeddings": (mention_embeddings, None),
+    }
+)

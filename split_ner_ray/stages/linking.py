@@ -42,37 +42,40 @@ CANON_SCHEMA = pa.schema(
 
 def mention_keys(mentions_flat, raw_triples):
     """Distinct (etype, norm) keys from mentions + both triple endpoints,
-    with per-batch partial dedup before the shuffle (combiner pattern)."""
+    with per-batch partial dedup before the shuffle (combiner pattern).
+    Vectorized: drop_duplicates first, normalize only the distinct surfaces
+    (surfaces repeat heavily — profiled 5x on the canon path)."""
+    import pandas as pd
 
-    def keys_from_mentions(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for et, surf in zip(batch.column("etype").to_pylist(), batch.column("surface").to_pylist()):
-            seen.add((et, rules.normalize_surface(surf)))
-        return _keys_table(seen)
+    def keys_from_mentions(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[["etype", "surface"]].drop_duplicates()
+        return _keys_frame(d["etype"], d["surface"])
 
-    def keys_from_triples(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for et, surf in zip(batch.column("subj_etype").to_pylist(), batch.column("subj_surface").to_pylist()):
-            seen.add((et, rules.normalize_surface(surf)))
-        for et, surf in zip(batch.column("obj_etype").to_pylist(), batch.column("obj_surface").to_pylist()):
-            seen.add((et, rules.normalize_surface(surf)))
-        return _keys_table(seen)
+    def keys_from_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.concat(
+            [
+                batch[["subj_etype", "subj_surface"]].rename(
+                    columns={"subj_etype": "etype", "subj_surface": "surface"}
+                ),
+                batch[["obj_etype", "obj_surface"]].rename(
+                    columns={"obj_etype": "etype", "obj_surface": "surface"}
+                ),
+            ]
+        ).drop_duplicates()
+        return _keys_frame(d["etype"], d["surface"])
 
-    a = mentions_flat.map_batches(keys_from_mentions, batch_format="pyarrow", zero_copy_batch=True)
-    b = raw_triples.map_batches(keys_from_triples, batch_format="pyarrow", zero_copy_batch=True)
+    a = mentions_flat.map_batches(keys_from_mentions, batch_format="pandas", batch_size=16384)
+    b = raw_triples.map_batches(keys_from_triples, batch_format="pandas", batch_size=16384)
     return a.union(b)
 
 
-def _keys_table(seen) -> pa.Table:
-    ets, norms, blocks = [], [], []
-    for et, norm in sorted(seen):
-        ets.append(et)
-        norms.append(norm)
-        blocks.append(rules.block_key(norm, et))
-    return pa.Table.from_pydict(
-        {"etype": ets, "norm": norms, "block": blocks},
-        schema=pa.schema([("etype", pa.string()), ("norm", pa.string()), ("block", pa.string())]),
-    )
+def _keys_frame(ets, surfs):
+    import pandas as pd
+
+    norms = rules.normalize_series(surfs)
+    df = pd.DataFrame({"etype": ets.values, "norm": norms.values}).drop_duplicates()
+    df["block"] = [rules.block_key(n, e) for e, n in zip(df["etype"], df["norm"])]
+    return df.reset_index(drop=True)
 
 
 def build_canon_map(keys_ds):
@@ -80,21 +83,34 @@ def build_canon_map(keys_ds):
     CANON_SCHEMA rows. One shuffle; per-block work is quadratic in distinct
     surfaces per block (bounded by the blocking function's selectivity)."""
 
-    def per_block(group: pa.Table) -> pa.Table:
-        members = list(
-            zip(group.column("etype").to_pylist(), group.column("norm").to_pylist())
-        )
-        canon = rules.cluster_block(members)  # SHARED rule core (oracle parity)
-        cols = {n: [] for n in CANON_SCHEMA.names}
-        for k in sorted(canon):
-            cn = canon[k]
-            cols["etype"].append(k[0])
-            cols["norm"].append(k[1])
-            cols["canonical_norm"].append(cn)
-            cols["entity_id"].append(rules.entity_id(k[0], cn))
-        return pa.Table.from_pydict(cols, schema=CANON_SCHEMA)
+    import pandas as pd
 
-    return keys_ds.groupby("block").map_groups(per_block, batch_format="pyarrow")
+    from .relational import hash_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _blk, sub in g.groupby("block", sort=True):
+            members = list(zip(sub["etype"], sub["norm"]))
+            canon = rules.cluster_block(members)  # SHARED rule core (oracle parity)
+            ks = sorted(canon)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "etype": [k[0] for k in ks],
+                        "norm": [k[1] for k in ks],
+                        "canonical_norm": [canon[k] for k in ks],
+                        "entity_id": [rules.entity_id(k[0], canon[k]) for k in ks],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({n: [] for n in CANON_SCHEMA.names})
+        return pd.concat(frames, ignore_index=True)
+
+    # bucketed on hash(block): each block lives in exactly one bucket, so
+    # per-bucket clustering is globally correct (same argument as the
+    # block-partitioned similarity graph)
+    return hash_aggregate(keys_ds, ["block"], per_bucket)
 
 
 class IdAssigner:
@@ -120,33 +136,67 @@ class IdAssigner:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # vectorized: surfaces repeat heavily, so normalize per DISTINCT
-        # surface and map once (dict lookups only on the small distinct set)
+        # vectorized: surfaces repeat heavily — normalize only the DISTINCT
+        # (etype, surface) pairs per batch, then a pandas map joins ids back
         import pandas as pd
 
+        sep = chr(30)
         out_cols = []
         for et_col, surf_col in (("subj_etype", "subj_surface"), ("obj_etype", "obj_surface")):
             ets = batch.column(et_col).to_pandas()
             surfs = batch.column(surf_col).to_pandas()
-            distinct = pd.DataFrame({"et": ets, "surf": surfs}).drop_duplicates()
+            keys = ets.str.cat(surfs, sep=sep)
+            d = pd.DataFrame({"et": ets, "surf": surfs, "key": keys}).drop_duplicates("key")
+            d_norm = rules.normalize_series(d["surf"])
             lut = {
-                (et, s): self.eid[(et, rules.normalize_surface(s))]
-                for et, s in zip(distinct["et"], distinct["surf"])
+                k: self.eid[(et, norm)]
+                for k, et, norm in zip(d["key"], d["et"], d_norm)
             }
-            out_cols.append([lut[(et, s)] for et, s in zip(ets, surfs)])
-        return batch.append_column("subj_id", pa.array(out_cols[0], pa.string())).append_column(
-            "obj_id", pa.array(out_cols[1], pa.string())
-        )
+            out_cols.append(keys.map(lut))
+        return batch.append_column(
+            "subj_id", pa.array(out_cols[0].tolist(), pa.string())
+        ).append_column("obj_id", pa.array(out_cols[1].tolist(), pa.string()))
+
+
+# per-worker-process broadcast cache (the Ray-idiomatic analog of the
+# reference's per-process tokenizer memo, dataset_qa.py:40): the canon map
+# object ref resolves + builds its dict ONCE per worker process, so the
+# stage can run as an elastic task pool (scales with CPUs) instead of a
+# fixed-size actor pool.
+_EID_CACHE: dict[str, dict] = {}
+
+
+def _eid_map(canon_ref) -> dict:
+    import ray
+
+    key = canon_ref.hex()
+    m = _EID_CACHE.get(key)
+    if m is None:
+        canon: pa.Table = ray.get(canon_ref)
+        m = {
+            (et, norm): eid
+            for et, norm, eid in zip(
+                canon.column("etype").to_pylist(),
+                canon.column("norm").to_pylist(),
+                canon.column("entity_id").to_pylist(),
+            )
+        }
+        _EID_CACHE.clear()  # one canon map per job; drop stale entries
+        _EID_CACHE[key] = m
+    return m
 
 
 def assign_entity_ids(raw_triples, canon_ref, *, concurrency=None):
+    def assign(batch: pa.Table) -> pa.Table:
+        assigner = IdAssigner.__new__(IdAssigner)
+        assigner.eid = _eid_map(canon_ref)
+        return assigner(batch)
+
     return raw_triples.map_batches(
-        IdAssigner,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
+        assign,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 4,
-        num_cpus=0.5,
+        batch_size=16384,
     )
 
 
@@ -234,18 +284,34 @@ def build_nodes(mentions_flat, raw_triples, canon_ref, *, concurrency=None):
     """
     from ..schemas import NODES
 
-    def occ_mentions(batch: pa.Table) -> pa.Table:
-        return _occ_table(
-            zip(batch.column("etype").to_pylist(), batch.column("surface").to_pylist())
+    import pandas as pd
+
+    def occ_mentions(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["etype", "surface"], as_index=False).size().rename(columns={"size": "n"})
+        return _occ_frame(g)
+
+    def occ_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                batch[["subj_etype", "subj_surface"]].rename(
+                    columns={"subj_etype": "etype", "subj_surface": "surface"}
+                ),
+                batch[["obj_etype", "obj_surface"]].rename(
+                    columns={"obj_etype": "etype", "obj_surface": "surface"}
+                ),
+            ]
         )
+        g = both.groupby(["etype", "surface"], as_index=False).size().rename(columns={"size": "n"})
+        return _occ_frame(g)
 
-    def occ_triples(batch: pa.Table) -> pa.Table:
-        pairs = list(zip(batch.column("subj_etype").to_pylist(), batch.column("subj_surface").to_pylist()))
-        pairs += list(zip(batch.column("obj_etype").to_pylist(), batch.column("obj_surface").to_pylist()))
-        return _occ_table(pairs)
+    def _occ_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["norm"] = rules.normalize_series(g["surface"])
+        g["n"] = g["n"].astype("int64")
+        return g[["etype", "norm", "surface", "n"]]
 
-    occ = mentions_flat.map_batches(occ_mentions, batch_format="pyarrow", zero_copy_batch=True).union(
-        raw_triples.map_batches(occ_triples, batch_format="pyarrow", zero_copy_batch=True)
+    occ = mentions_flat.map_batches(occ_mentions, batch_format="pandas", batch_size=16384).union(
+        raw_triples.map_batches(occ_triples, batch_format="pandas", batch_size=16384)
     )
 
     class NodeFinalizer:
@@ -326,26 +392,6 @@ def build_nodes(mentions_flat, raw_triples, canon_ref, *, concurrency=None):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _occ_table(pairs) -> pa.Table:
-    from collections import Counter
-
-    c = Counter()
-    for et, surf in pairs:
-        c[(et, surf)] += 1
-    ets, norms, surfs, ns = [], [], [], []
-    for (et, surf), n in sorted(c.items()):
-        ets.append(et)
-        norms.append(rules.normalize_surface(surf))
-        surfs.append(surf)
-        ns.append(n)
-    return pa.Table.from_pydict(
-        {"etype": ets, "norm": norms, "surface": surfs, "n": ns},
-        schema=pa.schema(
-            [("etype", pa.string()), ("norm", pa.string()), ("surface", pa.string()), ("n", pa.int64())]
-        ),
-    )
 
 
 def build_edges(triples_ds):

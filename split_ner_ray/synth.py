@@ -166,12 +166,14 @@ def sf_of_dir(sf_dir: str) -> float:
     return 0.01
 
 
-def transcripts_path(sf_dir: str, seed: int = 42) -> str:
+def transcripts_path(sf_dir: str, seed: int = 42, n_convs: int | None = None) -> str:
     """Materialize (once) and return the transcripts parquet dir for a
-    testdata sf dir. Cached under /tmp keyed by (sf, seed); safe to call
-    from many processes (atomic rename commit)."""
+    testdata sf dir. Cached under /tmp keyed by (sf, n_convs, seed); safe to
+    call from many processes (atomic rename commit). ``n_convs`` overrides
+    the sf-derived size (bench scaling uses a larger corpus)."""
     sf = sf_of_dir(sf_dir)
-    n_convs = n_convs_for_sf(sf)
+    if n_convs is None:
+        n_convs = n_convs_for_sf(sf)
     out = f"/tmp/graft_transcripts/sf{sf}_n{n_convs}_seed{seed}"
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):

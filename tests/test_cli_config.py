@@ -1,0 +1,74 @@
+"""Config parsing + CLI job entry (op R6 and the ray-job-submit path)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_config_roundtrip(tmp_path):
+    from split_ner_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(input_path="/a", output_dir="/b", window_turns=32)
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    loaded = PipelineConfig.from_json(str(p))
+    assert loaded == cfg
+    assert PipelineConfig.from_json('{"max_tokens": 128}').max_tokens == 128
+
+
+def test_config_rejects_unknown_keys():
+    from split_ner_ray.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="unknown config keys"):
+        PipelineConfig.from_json('{"max_seq_len": 512}')
+
+
+def test_cli_build_job(tmp_path):
+    """End-to-end CLI run in a fresh process (owns its own Ray session)."""
+    from split_ner_ray.synth import gen_conv_range
+
+    inp = tmp_path / "transcripts"
+    inp.mkdir()
+    for i, lo in enumerate(range(0, 20, 10)):
+        pq.write_table(
+            gen_conv_range(seed=7, lo=lo, hi=lo + 10, n_convs=20),
+            str(inp / f"part-{i:05d}.parquet"),
+        )
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "split_ner_ray.cli", "build",
+         "--input", str(inp), "--output", str(out), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["triples"] > 0 and summary["nodes"] > 0
+    assert os.path.exists(out / "_SUCCESS")
+    assert os.path.exists(out / "metrics.parquet")
+
+
+def test_mention_embedder(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from split_ner_ray.stages.embed import embed_mentions, embed_surface
+
+    df = pd.DataFrame({"surface": ["Acme Corp", "Acme Corporation", "Globex", "Acme Corp"]})
+    out = embed_mentions(rd.from_pandas(df)).to_pandas()
+    vecs = {s: np.array(v) for s, v in zip(out["surface"], out["embedding"])}
+    # deterministic + unit-norm
+    assert np.allclose(vecs["Acme Corp"], embed_surface("Acme Corp"))
+    assert abs(np.linalg.norm(vecs["Globex"]) - 1.0) < 1e-5
+    # near-identical surfaces are close; unrelated ones are not
+    sim_close = float(vecs["Acme Corp"] @ vecs["Acme Corporation"])
+    sim_far = float(vecs["Acme Corp"] @ vecs["Globex"])
+    assert sim_close > 0.5 > sim_far

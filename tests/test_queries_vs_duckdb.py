@@ -41,6 +41,8 @@ SQL_BACKED = [
     "brand_revenue_topk", "order_priority_count", "events_hourly",
     "events_sessions", "events_props_sum", "doc_token_counts", "doc_quality",
     "doc_pattern_hist", "doc_langid", "dedup_exact_docs", "ann_topk_cosine",
+    "doc_word_types", "doc_lang_confusion", "doc_vocab_topk",
+    "doc_stats_by_lang", "part_topk_per_brand", "events_type_users",
 ]
 
 
@@ -63,7 +65,7 @@ def test_query_matches_oracle(catalog, con, name):
 ROWS_ONLY = [
     "ann_ivf_cosine", "dedup_minhash_docs", "dedup_simhash_docs",
     "doc_fingerprints", "kg_triples", "kg_nodes", "kg_mentions",
-    "kg_parity_metrics", "kg_span_f1",
+    "kg_parity_metrics", "kg_span_f1", "mention_embeddings",
 ]
 
 
