@@ -108,6 +108,80 @@ def span_f1_dataset(ds, gold_col: str = "gold_tags", pred_col: str = "pred_tags"
     return finalize(counts)
 
 
+def overlap_category(gold: tuple[str, int, int], pred: tuple[str, int, int]) -> str:
+    """Classify a gold-vs-pred span relationship (op A5, the reference's
+    boundary/overlap error segregation, analysis.py:155-254 — same
+    taxonomy, compacted): exact / type_mismatch / missed_prefix /
+    extra_prefix / missed_suffix / extra_suffix / contained / contains /
+    overlap / disjoint."""
+    get, gs, ge = gold
+    pet, ps, pe = pred
+    if (gs, ge) == (ps, pe):
+        return "exact" if get == pet else "type_mismatch"
+    if pe < gs or ps > ge:
+        return "disjoint"
+    if ps >= gs and pe <= ge:
+        out = []
+        if ps > gs:
+            out.append("missed_prefix")
+        if pe < ge:
+            out.append("missed_suffix")
+        return "+".join(out) or "contained"
+    if ps <= gs and pe >= ge:
+        out = []
+        if ps < gs:
+            out.append("extra_prefix")
+        if pe > ge:
+            out.append("extra_suffix")
+        return "+".join(out) or "contains"
+    return "overlap"
+
+
+def boundary_error_counts(ds, gold_col: str = "gold_tags", pred_col: str = "pred_tags") -> dict:
+    """Distributed A5: per-sentence best-overlap categorization of every
+    gold span vs pred spans, reduced to a category histogram."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, p in zip(batch.column(gold_col).to_pylist(), batch.column(pred_col).to_pylist()):
+            gold = decode_typed_spans(g)
+            pred = decode_typed_spans(p)
+            for gs in gold:
+                overlapping = [
+                    ps for ps in pred if not (ps[2] < gs[1] or ps[1] > gs[2])
+                ]
+                if not overlapping:
+                    c["missed"] += 1
+                    continue
+                # best = the overlap with the largest intersection (ties:
+                # leftmost), mirroring the reference's per-span pairing
+                best = max(
+                    overlapping,
+                    key=lambda ps: (min(ps[2], gs[2]) - max(ps[1], gs[1]), -ps[1]),
+                )
+                c[overlap_category(gs, best)] += 1
+            for ps in pred:
+                if all(ps[2] < gs[1] or ps[1] > gs[2] for gs in gold):
+                    c["spurious"] += 1
+        return pa.Table.from_pydict(
+            {"category": list(c.keys()), "n": [int(v) for v in c.values()]},
+            schema=pa.schema([("category", pa.string()), ("n", pa.int64())]),
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    rows = parts.groupby("category").aggregate(Sum("n", alias_name="n")).take_all()
+    return {r["category"]: r["n"] for r in rows}
+
+
+def compare_predictions(ds_a, ds_b, key_cols=("conv_id", "turn_idx", "start", "end")) -> dict:
+    """Prediction-diff (op D4, utils/general.py:608-647): rows present in
+    only one of two mention tables, keyed by exact span."""
+    a = {tuple(r[c] for c in key_cols) + (r["etype"],) for r in ds_a.take_all()}
+    b = {tuple(r[c] for c in key_cols) + (r["etype"],) for r in ds_b.take_all()}
+    return {"only_a": sorted(a - b), "only_b": sorted(b - a), "common": len(a & b)}
+
+
 def triple_set_pr(got_ds, want_ds, key_cols=("subj_id", "pred", "obj_id")) -> dict:
     """North-rule checker: P/R of one triple Dataset vs a reference one.
 

@@ -85,6 +85,10 @@ def _occ_aggregate(combined):
     the small distinct-pair partials."""
     import pandas as pd
 
+    import hashlib
+
+    from .. import rules
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch["kind"] == 0]
         t = batch[batch["kind"] == 1]
@@ -99,12 +103,24 @@ def _occ_aggregate(combined):
                 ),
             ]
         )
-        return both.groupby(["etype", "surface"], as_index=False).size().rename(
+        g = both.groupby(["etype", "surface"], as_index=False).size().rename(
             columns={"size": "n"}
         )
+        # normalization + the (dominant) non-linkable entity ids are pure
+        # per-surface functions — compute them IN the parallel scan so the
+        # driver-side finalization only clusters the tiny linkable subset
+        g["norm"] = rules.normalize_series(g["surface"])
+        linkable = g["etype"].isin(list(rules.LINKABLE_ETYPES))
+        g["eid_nl"] = [
+            None if lk else "e_" + hashlib.sha1(f"{et}|{n}".encode()).hexdigest()[:16]
+            for lk, et, n in zip(linkable, g["etype"], g["norm"])
+        ]
+        return g
 
     parts = combined.map_batches(partial, batch_format="pandas", batch_size=32768).to_pandas()
-    return parts.groupby(["etype", "surface"], as_index=False)["n"].sum()
+    return parts.groupby(["etype", "surface", "norm"], as_index=False).agg(
+        n=("n", "sum"), eid_nl=("eid_nl", "first")
+    )
 
 
 def _canonicalize_driver(occ):
@@ -120,46 +136,80 @@ def _canonicalize_driver(occ):
     from ..stages.linking import CANON_SCHEMA
 
     occ = occ.copy()
-    occ["norm"] = rules.normalize_series(occ["surface"])
+    if "norm" not in occ.columns:  # occ from _occ_aggregate already has it
+        occ["norm"] = rules.normalize_series(occ["surface"])
     keys = occ[["etype", "norm"]].drop_duplicates()
+
+    # Clustering only ever links LINKABLE_ETYPES (rules.cluster_block);
+    # exact-identifier keys (ids, tools — the overwhelming majority, they
+    # grow with the corpus) are their own canonical form, so the union-find
+    # runs only on the small linkable subset and everything else is
+    # vectorized (profiled: 20s -> ~3s at 400k distinct surfaces).
+    linkable_mask = keys["etype"].isin(list(rules.LINKABLE_ETYPES))
     blocks: dict[str, list[tuple[str, str]]] = defaultdict(list)
-    for et, norm in zip(keys["etype"], keys["norm"]):
+    for et, norm in zip(keys.loc[linkable_mask, "etype"], keys.loc[linkable_mask, "norm"]):
         blocks[rules.block_key(norm, et)].append((et, norm))
     canon: dict[tuple[str, str], str] = {}
     for bk in sorted(blocks):
         canon.update(rules.cluster_block(blocks[bk]))
 
-    ks = sorted(canon)
+    # canonical/entity_id computed directly on occ rows via dict lookups —
+    # no 400k x 400k string merge (profiled: the merge + string-min groupby
+    # was the serial hot spot). sha1 ids are memoized per canonical norm.
+    import hashlib
+
+    eid_cache: dict[tuple[str, str], str] = {}
+
+    def eid_of(et: str, cn: str) -> str:
+        v = eid_cache.get((et, cn))
+        if v is None:
+            v = "e_" + hashlib.sha1(f"{et}|{cn}".encode()).hexdigest()[:16]
+            eid_cache[(et, cn)] = v
+        return v
+
+    occ_ets = occ["etype"].tolist()
+    occ_norms = occ["norm"].tolist()
+    occ["canonical_norm"] = [
+        canon.get((et, n), n) for et, n in zip(occ_ets, occ_norms)
+    ]
+    if "eid_nl" in occ.columns:
+        # non-linkable ids were computed in the parallel scan; only the
+        # (tiny) linkable subset needs sha1 here
+        pre = occ["eid_nl"].tolist()
+        occ["entity_id"] = [
+            p if isinstance(p, str) else eid_of(et, cn)
+            for p, et, cn in zip(pre, occ_ets, occ["canonical_norm"])
+        ]
+    else:
+        occ["entity_id"] = [
+            eid_of(et, cn) for et, cn in zip(occ_ets, occ["canonical_norm"])
+        ]
+
+    canon_df = occ[["etype", "norm", "canonical_norm", "entity_id"]].drop_duplicates(
+        ["etype", "norm"]
+    )
     canon_tbl = pa.Table.from_pydict(
-        {
-            "etype": [k[0] for k in ks],
-            "norm": [k[1] for k in ks],
-            "canonical_norm": [canon[k] for k in ks],
-            "entity_id": [rules.entity_id(k[0], canon[k]) for k in ks],
-        },
-        schema=CANON_SCHEMA,
+        {c: canon_df[c].values for c in CANON_SCHEMA.names}, schema=CANON_SCHEMA
     )
 
     # nodes: min eligible surface (norm == canonical norm) else min surface,
-    # occurrence counts summed per component — the oracle contract
-    occ["canonical_norm"] = [canon[(et, n)] for et, n in zip(occ["etype"], occ["norm"])]
-    occ["entity_id"] = [
-        rules.entity_id(et, cn) for et, cn in zip(occ["etype"], occ["canonical_norm"])
-    ]
-    occ["surf_key"] = [
-        ("0" if n == cn else "1") + s
-        for n, cn, s in zip(occ["norm"], occ["canonical_norm"], occ["surface"])
-    ]
-    g = occ.groupby(["entity_id", "etype"], as_index=False).agg(
-        surf_key=("surf_key", "min"), n_mentions=("n", "sum")
+    # occurrence counts summed per component — the oracle contract. Min via
+    # sort + drop_duplicates (string-min groupby over ~1 group per row is
+    # pathologically slow in pandas).
+    occ["surf_key"] = (
+        (occ["norm"] != occ["canonical_norm"]).astype(int).astype(str) + occ["surface"]
     )
-    g = g.sort_values("entity_id")
+    first = occ.sort_values(["entity_id", "surf_key"]).drop_duplicates(
+        "entity_id", keep="first"
+    )[["entity_id", "etype", "surf_key"]]
+    sums = occ.groupby("entity_id", as_index=False)["n"].sum()
+    g = first.merge(sums, on="entity_id")
     nodes_tbl = pa.Table.from_pydict(
         {
-            "entity_id": g["entity_id"].tolist(),
-            "canonical_surface": [s[1:] for s in g["surf_key"]],
-            "etype": g["etype"].tolist(),
-            "n_mentions": [int(v) for v in g["n_mentions"]],
+            "entity_id": g["entity_id"].values,
+            "canonical_surface": g["surf_key"].str.slice(1).values,
+            "etype": g["etype"].values,
+            "n_mentions": g["n"].astype("int64").values,
         },
         schema=NODES,
     )

