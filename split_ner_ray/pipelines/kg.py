@@ -90,22 +90,12 @@ def _occ_aggregate(combined):
     from .. import rules
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[batch["kind"] == 0]
-        t = batch[batch["kind"] == 1]
-        both = pd.concat(
-            [
-                m[["etype", "surface"]],
-                t[["subj_etype", "subj_surface"]].rename(
-                    columns={"subj_etype": "etype", "subj_surface": "surface"}
-                ),
-                t[["obj_etype", "obj_surface"]].rename(
-                    columns={"obj_etype": "etype", "obj_surface": "surface"}
-                ),
-            ]
+        # the grouped-extraction pass already emitted per-task occurrence
+        # partials (kind=2 rows) — this scan only touches those few rows
+        g = batch.loc[batch["kind"] == 2, ["etype", "surface", "occ_n"]].rename(
+            columns={"occ_n": "n"}
         )
-        g = both.groupby(["etype", "surface"], as_index=False).size().rename(
-            columns={"size": "n"}
-        )
+        g = g.groupby(["etype", "surface"], as_index=False)["n"].sum()
         # normalization + the (dominant) non-linkable entity ids are pure
         # per-surface functions — compute them IN the parallel scan so the
         # driver-side finalization only clusters the tiny linkable subset
@@ -117,7 +107,7 @@ def _occ_aggregate(combined):
         ]
         return g
 
-    parts = combined.map_batches(partial, batch_format="pandas", batch_size=32768).to_pandas()
+    parts = combined.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
     return parts.groupby(["etype", "surface", "norm"], as_index=False).agg(
         n=("n", "sum"), eid_nl=("eid_nl", "first")
     )

@@ -286,7 +286,7 @@ def extract_raw_triples(ds, *, concurrency=None, batch_size: int = 1024,
 # full classified corpus, and the per-group pass emits both tables at once.
 COMBINED = pa.schema(
     [
-        ("kind", pa.int8()),  # 0 = mention, 1 = triple
+        ("kind", pa.int8()),  # 0 = mention, 1 = triple, 2 = occ partial
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("start", pa.int32()),
@@ -299,6 +299,7 @@ COMBINED = pa.schema(
         ("pred", pa.string()),
         ("obj_surface", pa.string()),
         ("obj_etype", pa.string()),
+        ("occ_n", pa.int64()),  # kind=2: occurrence count for (etype, surface)
     ]
 )
 
@@ -353,9 +354,13 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
             cols["conv_id"].append(conv_id)
             cols["turn_idx"].append(turn_idx)
             for name in ("start", "end", "surface", "etype", "score",
-                         "subj_surface", "subj_etype", "pred", "obj_surface", "obj_etype"):
+                         "subj_surface", "subj_etype", "pred", "obj_surface",
+                         "obj_etype", "occ_n"):
                 cols[name].append(kw.get(name))
 
+        from collections import Counter
+
+        occ: Counter = Counter()  # (etype, surface) occurrence partials
         i = 0
         while i < n:
             # one (conv_id, win) group = a run of identical key values
@@ -372,6 +377,7 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                     for m in mentions:
                         emit(0, conv[r], turn[r], start=m.start, end=m.end,
                              surface=m.surface, etype=m.etype, score=m.score)
+                        occ[(m.etype, m.surface)] += 1
                 prev_person = None
                 for ti, surf in reversed(recent):
                     if turn[r] - ti <= rules.LOOKBACK_TURNS:
@@ -383,10 +389,16 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                     ):
                         emit(1, conv[r], turn[r], subj_surface=s_surf, subj_etype=s_et,
                              pred=pred, obj_surface=o_surf, obj_etype=o_et)
+                        occ[(s_et, s_surf)] += 1
+                        occ[(o_et, o_surf)] += 1
                 lp = rules.last_person(mentions)
                 if lp is not None:
                     recent.append((turn[r], lp))
             i = j
+        # kind=2: occurrence-count partials for the linking stage, computed
+        # here so no later pass rescans the corpus-shaped rows
+        for (et, surf), cnt in occ.items():
+            emit(2, "", -1, etype=et, surface=surf, occ_n=cnt)
         return pa.Table.from_pydict(cols, schema=COMBINED)
 
     return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
