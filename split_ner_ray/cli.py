@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.checkpointed import build_graph_job
         from .state import manifest as mf
 
-        if args.no_resume:
+        if args.no_resume or not cfg.resume:
             done = mf.committed_groups(os.path.join(cfg.output_dir, "_work"))
             if done:
                 print(f"error: {len(done)} committed groups exist; rerun without --no-resume",
@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
             concurrency=(cfg.min_actors, cfg.max_actors),
             batch_size=cfg.batch_size,
             window_turns=cfg.window_turns,
+            max_tokens=cfg.max_tokens,
+            scorer=cfg.detector_backend,
+            link_sim_threshold=cfg.link_sim_threshold,
         )
         summary = {
             "triples": out["triples"].count(),

@@ -23,7 +23,11 @@ class PipelineConfig:
     max_tokens: int = 256          # M9 truncation (max_seq_len analog)
     window_turns: int = 64         # predicate-extraction window (skew salt)
     batch_size: int = 1024
-    detector_backend: str = "rules"  # scorer registry (SURVEY §2.10)
+    detector_backend: str = "rules"  # scorer registry (stages/detect.py)
+    # decode variant for sub-token scorers: "first_wins" (mapping1) or
+    # "consistency" (mapping2, functions/decode.consistency_vote_assign).
+    # The rules backend tokenizes atomically, so both coincide there.
+    decode_mode: str = "first_wins"
     # actor pools
     min_actors: int = 1
     max_actors: int = 8

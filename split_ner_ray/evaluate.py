@@ -69,16 +69,23 @@ def finalize(counts: Counter) -> dict:
         per_tag.setdefault(tag, {"tp": 0, "fp": 0, "fn": 0})[kind] += n
     total = {"tp": 0, "fp": 0, "fn": 0}
     tag_f1_sum = 0.0
+    n_gold_tags = 0
     for tag, c in per_tag.items():
         for k in total:
             total[k] += c[k]
         p, r, f1 = prf(c["tp"], c["fp"], c["fn"])
         c.update({"precision": p, "recall": r, "f1": f1})
-        tag_f1_sum += f1
+        # macro averages over tags PRESENT IN GOLD only (tp+fn > 0) — the
+        # reference iterates the gold-derived tag list (analysis.py:60-72),
+        # so a type that appears only as false positives never enters the
+        # macro denominator
+        if c["tp"] + c["fn"] > 0:
+            tag_f1_sum += f1
+            n_gold_tags += 1
     p, r, f1 = prf(total["tp"], total["fp"], total["fn"])
     return {
         "micro": {**total, "precision": p, "recall": r, "f1": f1},
-        "macro_f1": tag_f1_sum / (len(per_tag) + EPS),
+        "macro_f1": tag_f1_sum / (n_gold_tags + EPS),
         "per_tag": per_tag,
     }
 

@@ -60,6 +60,56 @@ def first_wins_assign(n_tokens: int, proposals: list[tuple[int, int, str]]) -> l
     return [O_TAG if t == PAD_TAG else t for t in tags]
 
 
+def consistency_vote_assign(
+    n_tokens: int, contexts: list[tuple[str, list[list[str]]]]
+) -> list[str]:
+    """`bert_to_orig_token_mapping2` semantics (main_qa.py:165-214) — the
+    reference's consistency-voting decode variant ("slightly more true
+    positives, considerably fewer false positives").
+
+    ``contexts`` is an ordered list of (entity, token_preds); token_preds
+    holds, per original token, the predicted class chars of its sub-tokens
+    (head first): 'B'/'S'/'I'/'E' or anything else for O/none.
+
+    Per context: the HEAD sub-token assigns B-/I-/O exactly as mapping1
+    does (B/S -> B-entity, I/E -> I-entity, else O; only onto PAD/O slots),
+    but the token KEEPS the assignment only if every continuation sub-token
+    predicts I or E — an inconsistent token is reset to O. A token already
+    tagged with a different context's entity is skipped (cross-entity
+    first-wins, main_qa.py:185-187).
+
+    Documented divergence: the reference's inconsistency test is
+    ``prediction[j] != I or prediction[j] != E`` (main_qa.py:205-206) — a
+    tautology (flagged "TODO: needs proof-reading" in the reference) that
+    would reset EVERY multi-sub-token assignment. We implement the
+    documented intent (logical and): reset only when a continuation
+    sub-token is neither I nor E. For single-sub-token tokenizers (our
+    rules backend) both variants coincide with first-wins.
+    """
+    tags = [PAD_TAG] * n_tokens
+    for entity, tok_preds in contexts:
+        for ptr in range(min(n_tokens, len(tok_preds))):
+            subs = tok_preds[ptr]
+            if not subs:
+                continue
+            cur = tags[ptr]
+            if cur not in (PAD_TAG, O_TAG) and cur[2:] != entity:
+                continue  # another entity's context got here first
+            head = subs[0]
+            if head in ("B", "S"):
+                assign = "B-" + entity
+            elif head in ("I", "E"):
+                assign = "I-" + entity
+            else:
+                assign = O_TAG
+            if tags[ptr] in (PAD_TAG, O_TAG):
+                tags[ptr] = assign
+            if len(subs) > 1 and any(s not in ("I", "E") for s in subs[1:]):
+                if tags[ptr] not in (PAD_TAG, O_TAG) and tags[ptr][2:] == entity:
+                    tags[ptr] = O_TAG
+    return [O_TAG if t == PAD_TAG else t for t in tags]
+
+
 def bioes_to_bio(tags: list[str]) -> list[str]:
     """S- -> B-, E- -> I- normalization (main.py:104-158 seq-tag variant)."""
     out = []

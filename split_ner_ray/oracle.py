@@ -70,7 +70,11 @@ def extract_raw_triples(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKEN
     return pa.Table.from_pydict(cols, schema=RAW_TRIPLES)
 
 
-def link_entities(mention_keys: list[tuple[str, str]]) -> dict[tuple[str, str], str]:
+def link_entities(
+    mention_keys: list[tuple[str, str]],
+    threshold: float | None = None,
+    emb_threshold: float | None = None,
+) -> dict[tuple[str, str], str]:
     """(etype, norm_surface) -> canonical norm: block then canonicalize each
     block with the SHARED rules.cluster_block (identical to the distributed
     linker's per-block map_groups by construction)."""
@@ -80,7 +84,7 @@ def link_entities(mention_keys: list[tuple[str, str]]) -> dict[tuple[str, str], 
         blocks[rules.block_key(norm, et)].append((et, norm))
     out: dict[tuple[str, str], str] = {}
     for bk in sorted(blocks):
-        out.update(rules.cluster_block(blocks[bk]))
+        out.update(rules.cluster_block(blocks[bk], threshold, emb_threshold))
     return out
 
 

@@ -75,6 +75,8 @@ def run_extract_phase(
     concurrency=None,
     batch_size: int = 1024,
     window_turns: int = ex.WINDOW_TURNS,
+    max_tokens: int | None = None,
+    scorer: str = "rules",
     metrics: _MetricsLog | None = None,
     stop_after_groups: int | None = None,
 ) -> list[int]:
@@ -96,13 +98,23 @@ def run_extract_phase(
         ds = rd.read_parquet(g["files"], columns=EXTRACT_COLS)
         combined = ex.extract_combined(
             ds, concurrency=concurrency, batch_size=batch_size,
-            window_turns=window_turns,
+            window_turns=window_turns, scorer=scorer,
+            max_tokens=max_tokens or ex.rules.MAX_TOKENS_DEFAULT,
         ).materialize()
         mentions = ex.mentions_from_combined(combined).materialize()
         raw = ex.triples_from_combined(combined).materialize()
 
         m_dir = os.path.join(work_dir, "mentions", f"group={gid:05d}")
         t_dir = os.path.join(work_dir, "raw_triples", f"group={gid:05d}")
+        # Idempotent re-run: a kill between the data write and commit_group
+        # leaves orphan UUID-named files in the group dirs; write_parquet
+        # appends rather than replaces, so a resume would double-count them.
+        # Deleting the (uncommitted) group dirs first makes the data write
+        # atomic with the manifest commit.
+        import shutil
+
+        shutil.rmtree(m_dir, ignore_errors=True)
+        shutil.rmtree(t_dir, ignore_errors=True)
         mentions.write_parquet(m_dir)
         raw.write_parquet(t_dir)
         n_in = _input_rows(g["files"])
@@ -130,45 +142,21 @@ def run_graph_phase(
     out_dir: str,
     *,
     concurrency=None,
+    link_sim_threshold: float | None = None,
     metrics: _MetricsLog | None = None,
 ):
-    """Phase B: global linking/canonicalization/dedup over phase-A output."""
-    import pandas as pd
+    """Phase B: global linking/canonicalization/dedup over phase-A output.
 
-    from .kg import _canonicalize_driver
-
+    Same scale discipline as pipelines/kg.py: the occurrence table stays a
+    distributed Dataset; only the distinct linkable (etype, norm) keys reach
+    the driver, and nodes are built distributed from occ."""
     metrics = metrics or _MetricsLog()
     t0 = time.time()
     mentions = rd.read_parquet(os.path.join(work_dir, "mentions"))
     raw = rd.read_parquet(os.path.join(work_dir, "raw_triples"))
 
-    # occurrence pre-aggregation (parallel scan) -> driver-side
-    # canonicalization through the shared rule core (see pipelines/kg.py)
-    def occ_m(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(["etype", "surface"], as_index=False).size().rename(
-            columns={"size": "n"}
-        )
-
-    def occ_t(batch: pd.DataFrame) -> pd.DataFrame:
-        both = pd.concat(
-            [
-                batch[["subj_etype", "subj_surface"]].rename(
-                    columns={"subj_etype": "etype", "subj_surface": "surface"}
-                ),
-                batch[["obj_etype", "obj_surface"]].rename(
-                    columns={"obj_etype": "etype", "obj_surface": "surface"}
-                ),
-            ]
-        )
-        return both.groupby(["etype", "surface"], as_index=False).size().rename(
-            columns={"size": "n"}
-        )
-
-    parts = mentions.map_batches(occ_m, batch_format="pandas", batch_size=32768).union(
-        raw.map_batches(occ_t, batch_format="pandas", batch_size=32768)
-    ).to_pandas()
-    occ = parts.groupby(["etype", "surface"], as_index=False)["n"].sum()
-    canon_tbl, nodes_tbl = _canonicalize_driver(occ)
+    occ = lk.aggregate_occ(lk.occ_partials_from_tables(mentions, raw)).materialize()
+    canon_tbl = lk.canonicalize_linkable(occ, threshold=link_sim_threshold)
     canon_ref = ray.put(canon_tbl)
     metrics.add("link_canon", -1, canon_tbl.num_rows, canon_tbl.num_rows,
                 time.time() - t0, [])
@@ -180,11 +168,11 @@ def run_graph_phase(
     metrics.add("dedup_triples", -1, raw.count(), triples.count(), time.time() - t0, [])
 
     t0 = time.time()
-    nodes = rd.from_arrow(nodes_tbl)
+    nodes = lk.build_nodes_from_occ(occ, canon_ref).materialize()
     nodes.write_parquet(os.path.join(out_dir, "nodes"))
     edges = lk.build_edges(triples).materialize()
     edges.write_parquet(os.path.join(out_dir, "edges"))
-    metrics.add("nodes_edges", -1, triples.count(), nodes_tbl.num_rows + edges.count(),
+    metrics.add("nodes_edges", -1, triples.count(), nodes.count() + edges.count(),
                 time.time() - t0, [])
     return triples, nodes, edges
 
@@ -197,6 +185,9 @@ def build_graph_job(
     concurrency=None,
     batch_size: int = 1024,
     window_turns: int = ex.WINDOW_TURNS,
+    max_tokens: int | None = None,
+    scorer: str = "rules",
+    link_sim_threshold: float | None = None,
     stop_after_groups: int | None = None,
 ):
     """Full resumable job (the `ray job submit` entry — cli.py). Safe to
@@ -211,6 +202,8 @@ def build_graph_job(
         concurrency=concurrency,
         batch_size=batch_size,
         window_turns=window_turns,
+        max_tokens=max_tokens,
+        scorer=scorer,
         metrics=metrics,
         stop_after_groups=stop_after_groups,
     )
@@ -221,7 +214,8 @@ def build_graph_job(
     if have < total:
         raise RuntimeError(f"extract incomplete: {have}/{total} groups committed")
     triples, nodes, edges = run_graph_phase(
-        work_dir, out_dir, concurrency=concurrency, metrics=metrics
+        work_dir, out_dir, concurrency=concurrency,
+        link_sim_threshold=link_sim_threshold, metrics=metrics,
     )
     pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:

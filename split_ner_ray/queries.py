@@ -130,13 +130,13 @@ def top_orders_revenue(sf_dir: str):
         )
 
     li_rev = li.map_batches(rev, batch_format="pandas")
-    okeys = set(o_b.to_pandas()["o_orderkey"])
-
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["o_orderkey"].isin(okeys)]
-
+    # semi-join: BUILDING order keys shipped ONCE via ray.put inside
+    # broadcast_join (worker-local cache), not a closure-captured Python
+    # set re-pickled per task; at a scale where the key frame outgrows the
+    # broadcast, swap in relational.partitioned_join on o_orderkey
+    okeys_frame = o_b.select_columns(["o_orderkey"]).to_pandas()
     agg = (
-        li_rev.map_batches(keep, batch_format="pandas")
+        broadcast_join(li_rev, okeys_frame, ["o_orderkey"])
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="rev"))
     )
@@ -932,3 +932,135 @@ ORDER BY doc_id
 """
 
 QUERIES.update({"doc_hash_sample": (doc_hash_sample, HASH_SAMPLE_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# round 2: pattern mining (S9 proper) + embedding-cosine dedup
+# ---------------------------------------------------------------------------
+
+_MINE_ANCHORS = ("join", "sort", "merge", "scan")
+
+
+def doc_mined_op_contexts(sf_dir: str):
+    """Mined window-pattern histogram with a SQL-checkable anchor: every
+    anchor-vocabulary token collapses to the placeholder ``<op>`` and its
+    1-before/1-after context window becomes the pattern (the
+    DuckDB-replicable slice of stages/mining.extrinsic_patterns; the full
+    typed-placeholder 5x5 miner runs under pytest against a python
+    oracle)."""
+    from collections import Counter
+
+    from .stages.relational import hash_aggregate, topk
+
+    anchors = set(_MINE_ANCHORS)
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in batch["text"]:
+            toks = text.split()
+            for i, t in enumerate(toks):
+                if t in anchors:
+                    prev = toks[i - 1] if i > 0 else ""
+                    nxt = toks[i + 1] if i + 1 < len(toks) else ""
+                    c[f"{prev} <op> {nxt}"] += 1
+        keys = list(c)
+        return pd.DataFrame(
+            {"pattern": keys, "n": pd.array([c[k] for k in keys], dtype="int64")}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pattern", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    top = topk(hash_aggregate(parts, ["pattern"], agg),
+               [("n", True), ("pattern", False)], 30).to_pandas()
+    top["n"] = top["n"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+MINED_OP_SQL = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), hits AS (
+  SELECT COALESCE(t[i-1], '') || ' <op> ' || COALESCE(t[i+1], '') AS pattern
+  FROM toks, UNNEST(range(1, len(t)+1)) AS g(i)
+  WHERE t[i] IN {_MINE_ANCHORS!r}
+)
+SELECT pattern, COUNT(*) AS n FROM hits
+GROUP BY pattern ORDER BY n DESC, pattern LIMIT 30
+"""
+
+
+def doc_intrinsic_patterns(sf_dir: str):
+    """Per-pattern tag distributions over documents (mining op, reference
+    pattern_analysis.intrinsic_patterns semantics; mention detection is not
+    SQL-expressible -> rows-only driver check + pytest fixture oracle)."""
+    from .stages.mining import intrinsic_pattern_tags
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    df = intrinsic_pattern_tags(ds, min_support=10).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["pattern", "tag"]).reset_index(drop=True)
+
+
+def kg_pred_patterns(sf_dir: str):
+    """Mined predicate-gap patterns over the synthetic transcripts (the
+    S9 feedback loop feeding rules.PRED_PATTERNS; rows-only)."""
+    from .stages.mining import mine_predicate_patterns
+
+    ds = _transcripts_ds(sf_dir)
+    df = mine_predicate_patterns(ds, min_support=2).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["gap", "subj_etype", "obj_etype"]).reset_index(drop=True)
+
+
+COSINE_PAIR_THRESHOLD = 0.45
+
+
+def dedup_cosine_docs(sf_dir: str):
+    """Exact cosine-similar vector pairs (brute path of cosine_dup_pairs;
+    SQL-checkable against DuckDB list_cosine_similarity). The default LSH
+    path is exercised as dedup_cosine_lsh_docs (rows-only) + pytest."""
+    from .stages.dedup import cosine_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = cosine_dup_pairs(ds, threshold=COSINE_PAIR_THRESHOLD, lsh=False).to_pandas()
+    df["src"] = df["src"].astype("int64")
+    df["dst"] = df["dst"].astype("int64")
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+COSINE_PAIRS_SQL = f"""
+SELECT a.vec_id AS src, b.vec_id AS dst
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_PAIR_THRESHOLD}
+ORDER BY src, dst
+"""
+
+
+def dedup_cosine_lsh_docs(sf_dir: str):
+    """Hyperplane-LSH cosine pairs — the 100 TB default path (rows-only;
+    recall vs the brute oracle is pytest-asserted)."""
+    from .stages.dedup import cosine_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = cosine_dup_pairs(ds, threshold=COSINE_PAIR_THRESHOLD, num_planes=6).to_pandas()
+    df["src"] = df["src"].astype("int64")
+    df["dst"] = df["dst"].astype("int64")
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+QUERIES.update(
+    {
+        "doc_mined_op_contexts": (doc_mined_op_contexts, MINED_OP_SQL),
+        "doc_intrinsic_patterns": (doc_intrinsic_patterns, None),
+        "kg_pred_patterns": (kg_pred_patterns, None),
+        "dedup_cosine_docs": (dedup_cosine_docs, COSINE_PAIRS_SQL),
+        "dedup_cosine_lsh_docs": (dedup_cosine_lsh_docs, None),
+    }
+)

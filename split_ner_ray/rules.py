@@ -295,6 +295,19 @@ def containment_sim(a: set[str], b: set[str]) -> float:
 
 LINK_SIM_THRESHOLD = 0.8
 
+# Second linking channel: cosine over the S6 hashed-n-gram embedding
+# vectors (stages/embed.embed_surface — the sandbox stand-in for the
+# reference's BERT mention embeddings, utils/mention_clustering.py:23-41).
+# Containment (o/min(|a|,|b|)) catches abbreviation ⊂ full-form; cosine
+# (≈ o/sqrt(|a||b|), always <= containment on these vectors) scores
+# comparable-length variants symmetrically, so its threshold sits BELOW
+# the containment threshold: it links equal-size typo variants (e.g.
+# 'springfield'~'sprincfield', containment 0.73) that containment@0.8
+# misses, without inheriting containment's subset-leniency. Both the
+# oracle and the distributed linker run this through the shared
+# cluster_block, so parity is structural.
+EMB_SIM_THRESHOLD = 0.72
+
 # Exact-identifier types never fuzzy-link: an alphanumeric ID or a tool name
 # is its own canonical form (CVE-2015-8431 != CVE-2015-8432 at any string
 # similarity). This also removes the one quadratic hot block (all IDs share
@@ -312,14 +325,24 @@ def block_key(norm: str, etype: str) -> str:
     return f"{etype}|{first[:2]}"
 
 
-def cluster_block(members: list[tuple[str, str]]) -> dict[tuple[str, str], str]:
+def cluster_block(
+    members: list[tuple[str, str]],
+    threshold: float | None = None,
+    emb_threshold: float | None = None,
+) -> dict[tuple[str, str], str]:
     """Canonicalize ONE block of distinct (etype, norm) keys -> canonical
-    norm per key, via containment similarity + union-find with min-root.
+    norm per key: blocking + TWO similarity channels (n-gram containment
+    OR embedding cosine) + union-find with min-root — the north star's
+    "blocking + embedding-similarity entity linking".
 
     THE shared implementation: both the single-process oracle and the
     distributed per-block map_groups call this, so linking semantics cannot
     diverge. Non-LINKABLE_ETYPES keys are their own canonical form.
     """
+    from .stages.embed import embed_surface  # lazy: avoids import cycle
+
+    threshold = LINK_SIM_THRESHOLD if threshold is None else threshold
+    emb_threshold = EMB_SIM_THRESHOLD if emb_threshold is None else emb_threshold
     members = sorted(set(members))
     parent = {k: k for k in members}
 
@@ -331,12 +354,16 @@ def cluster_block(members: list[tuple[str, str]]) -> dict[tuple[str, str], str]:
 
     linkable = [k for k in members if k[0] in LINKABLE_ETYPES]
     grams = {k: char_ngrams(k[1]) for k in linkable}
+    embs = {k: embed_surface(k[1]) for k in linkable}
     for i in range(len(linkable)):
         for j in range(i + 1, len(linkable)):
             a, b = linkable[i], linkable[j]
             if a[0] != b[0]:
                 continue
-            if containment_sim(grams[a], grams[b]) >= LINK_SIM_THRESHOLD:
+            hit = containment_sim(grams[a], grams[b]) >= threshold
+            if not hit:
+                hit = float(embs[a] @ embs[b]) >= emb_threshold
+            if hit:
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     lo, hi = (ra, rb) if ra <= rb else (rb, ra)

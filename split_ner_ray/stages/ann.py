@@ -1,12 +1,20 @@
 """Similarity search over an embedding column (list<float>).
 
 - brute_topk: exact cosine top-k — per-batch float64 matmul against a
-  broadcast query matrix (ray.put once, resolved per actor), local top-k
-  partials, final per-query reduce. This is the baseline the driver asks
-  for; it streams the corpus once and never materializes it.
-- ivf_topk: IVF-style scale path — deterministic coarse centroids, vectors
-  bucketed by nearest centroid (one shuffle), queries probe the nprobe
-  nearest buckets only. Recall vs brute force is asserted in tests.
+  broadcast query matrix (ray.put once, resolved per worker), tie-safe
+  local top-k partials, final per-query reduce. This is the baseline the
+  driver asks for; it streams the corpus once and never materializes it.
+- ivf_topk: IVF scale path — coarse centroids trained by spherical k-means
+  on a deterministic hash-based sample, vectors bucketed by nearest
+  centroid, ONE bucket shuffle co-locates each inverted list, and each
+  bucket task computes similarities only for the queries probing it. At
+  100 TB the bucketed table would be written partitioned by bucket so
+  probes prune at the read; in-sandbox the pruning is per-task compute +
+  shuffle locality. Recall vs brute force is asserted in tests.
+
+All stages are elastic task pools (broadcast state resolved from the
+worker-local object store per call — shipped once per node, not per batch);
+no fixed-size actor pools to starve the cluster.
 """
 
 from __future__ import annotations
@@ -26,12 +34,45 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def load_queries(emb_ds, query_ids: list[int], id_col="vec_id", vec_col="embedding"):
-    """Fetch the query vectors (a handful of ids) to the driver."""
-    rows = emb_ds.filter(lambda r: r[id_col] in set(query_ids)).take_all()
+    """Fetch the query vectors (a handful of ids) to the driver —
+    vectorized batch filter, not a per-row lambda scan."""
+    want = set(int(q) for q in query_ids)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[id_col].astype("int64").isin(want)]
+
+    rows = emb_ds.map_batches(keep, batch_format="pandas").take_all()
     rows.sort(key=lambda r: r[id_col])
     qids = np.array([r[id_col] for r in rows], dtype=np.int64)
     qm = _normalize(_as_matrix([r[vec_col] for r in rows], vec_col))
     return qids, qm
+
+
+def _topk_tie_safe(sims: np.ndarray, vids: np.ndarray, kk: int):
+    """Indices of the top-kk under the TOTAL order (sim desc, vid asc) —
+    the same order the final reduce (and the SQL oracle's ORDER BY) uses,
+    so per-batch truncation can never drop a row the global top-k keeps."""
+    kk = min(kk, len(vids))
+    order = np.lexsort((vids, -sims))
+    return order[:kk]
+
+
+def _per_query_reduce(partials, k: int, exclude_self: bool):
+    def per_query(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["qid"].iloc[0])
+        g = group
+        if exclude_self:
+            g = g[g["vid"] != qid]
+        g = g.sort_values(["sim", "vid"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "qid": pd.array([qid] * len(g), dtype="int64"),
+                "vid": pd.array(g["vid"].tolist(), dtype="int64"),
+                "rank": pd.array(range(1, len(g) + 1), dtype="int64"),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(per_query, batch_format="pandas")
 
 
 def brute_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
@@ -43,123 +84,111 @@ def brute_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
 
     ref = ray.put((qids, qmat))
 
-    class Local:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(ref)
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        all_qids, qm = ray.get(ref)
+        vids = batch[id_col].to_numpy(dtype=np.int64)
+        m = _normalize(_as_matrix(batch[vec_col], vec_col))
+        sims = qm @ m.T  # (Q, B)
+        out = {"qid": [], "vid": [], "sim": []}
+        kk = k + (1 if exclude_self else 0)
+        for qi in range(sims.shape[0]):
+            for j in _topk_tie_safe(sims[qi], vids, kk):
+                out["qid"].append(int(all_qids[qi]))
+                out["vid"].append(int(vids[j]))
+                out["sim"].append(float(sims[qi, j]))
+        return pd.DataFrame(out)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vids = batch[id_col].to_numpy(dtype=np.int64)
-            m = _normalize(_as_matrix(batch[vec_col], vec_col))
-            sims = self.qmat @ m.T  # (Q, B)
-            out = {"qid": [], "vid": [], "sim": []}
-            kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-            for qi in range(sims.shape[0]):
-                idx = np.argpartition(-sims[qi], kk - 1)[:kk]
-                for j in idx:
-                    out["qid"].append(int(self.qids[qi]))
-                    out["vid"].append(int(vids[j]))
-                    out["sim"].append(float(sims[qi, j]))
-            return pd.DataFrame(out)
+    partials = emb_ds.map_batches(local, batch_format="pandas")
+    return _per_query_reduce(partials, k, exclude_self)
 
-    partials = emb_ds.map_batches(Local, batch_format="pandas", concurrency=2, num_cpus=0.5)
 
-    def per_query(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["qid"].iloc[0])
-        g = group
-        if exclude_self:
-            g = g[g["vid"] != qid]
-        g = g.sort_values(["sim", "vid"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
-            {
-                "qid": pd.array([qid] * len(g), dtype="int64"),
-                "vid": pd.array(g["vid"].tolist(), dtype="int64"),
-                "rank": pd.array(range(1, len(g) + 1), dtype="int64"),
-            }
-        )
+def train_centroids(emb_ds, num_centroids: int = 8, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", iters: int = 5,
+                    sample_target: int = 4096) -> np.ndarray:
+    """Coarse quantizer: spherical k-means on a deterministic hash-based
+    sample (~sample_target vectors regardless of corpus size; the sample
+    predicate is a pure function of the id, so the result is independent
+    of partitioning). Init = the num_centroids smallest-id sample vectors;
+    empty clusters keep their previous centroid. Deterministic end to end."""
+    n = emb_ds.count()
+    frac = min(1.0, sample_target / max(n, 1))
+    threshold = np.uint64(int(frac * (1 << 63)))
 
-    return partials.groupby("qid").map_groups(per_query, batch_format="pandas")
+    def samp(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        h = pd.util.hash_array(ids).astype(np.uint64) >> np.uint64(1)
+        return batch[h < threshold]
+
+    rows = emb_ds.map_batches(samp, batch_format="pandas").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    sample = _normalize(_as_matrix([r[vec_col] for r in rows], vec_col))
+    k = min(num_centroids, len(sample))
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
 
 
 def ivf_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
              *, num_centroids: int = 8, nprobe: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
              exclude_self: bool = True):
-    """IVF-bucketed ANN: centroids = normalized vectors of the
-    ``num_centroids`` smallest ids (deterministic, no k-means iterations —
-    documented simplification); one shuffle buckets the corpus; each query
-    searches only its nprobe closest buckets."""
+    """IVF-bucketed ANN: k-means coarse centroids; ONE bucket shuffle
+    co-locates each inverted list; each bucket task scores only the queries
+    that probe its buckets (compute pruned by nprobe/num_centroids)."""
     import ray
 
-    cent_rows = (
-        emb_ds.filter(lambda r: r[id_col] < num_centroids)
-        .take_all()
-    )
-    cent_rows.sort(key=lambda r: r[id_col])
-    cents = _normalize(_as_matrix([r[vec_col] for r in cent_rows], vec_col))
+    from .relational import hash_aggregate
+
+    cents = train_centroids(emb_ds, num_centroids, id_col=id_col, vec_col=vec_col)
     cref = ray.put(cents)
 
-    class Assign:
-        def __init__(self):
-            self.cents = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_as_matrix(batch[vec_col], vec_col))
-            sims = m @ self.cents.T
-            return pd.DataFrame(
-                {
-                    "bucket": pd.array(np.argmax(sims, axis=1), dtype="int64"),
-                    id_col: batch[id_col].astype("int64"),
-                    vec_col: [list(map(float, v)) for v in batch[vec_col]],
-                }
-            )
-
-    bucketed = emb_ds.map_batches(Assign, batch_format="pandas", concurrency=2, num_cpus=0.5)
-
-    # query -> probed buckets
-    probes = {}
-    qsims = qmat @ cents.T
-    for qi in range(len(qids)):
-        probes[int(qids[qi])] = set(np.argsort(-qsims[qi])[:nprobe].tolist())
-    pref = ray.put((qids, qmat, probes))
-
-    class Search:
-        def __init__(self):
-            self.qids, self.qmat, self.probes = ray.get(pref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vids = batch[id_col].to_numpy(dtype=np.int64)
-            buckets = batch["bucket"].to_numpy(dtype=np.int64)
-            m = _normalize(_as_matrix(batch[vec_col], vec_col))
-            out = {"qid": [], "vid": [], "sim": []}
-            for qi in range(len(self.qids)):
-                qid = int(self.qids[qi])
-                mask = np.isin(buckets, list(self.probes[qid]))
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.qmat[qi]
-                mv = vids[mask]
-                kk = min(k + 1, len(mv))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                for j in idx:
-                    out["qid"].append(qid)
-                    out["vid"].append(int(mv[j]))
-                    out["sim"].append(float(sims[j]))
-            return pd.DataFrame(out)
-
-    partials = bucketed.map_batches(Search, batch_format="pandas", concurrency=2, num_cpus=0.5)
-
-    def per_query(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["qid"].iloc[0])
-        g = group
-        if exclude_self:
-            g = g[g["vid"] != qid]
-        g = g.sort_values(["sim", "vid"], ascending=[False, True]).head(k)
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col], vec_col))
+        sims = m @ c.T
         return pd.DataFrame(
             {
-                "qid": pd.array([qid] * len(g), dtype="int64"),
-                "vid": pd.array(g["vid"].tolist(), dtype="int64"),
-                "rank": pd.array(range(1, len(g) + 1), dtype="int64"),
+                "bucket": pd.array(np.argmax(sims, axis=1), dtype="int64"),
+                id_col: batch[id_col].astype("int64"),
+                vec_col: [list(map(float, v)) for v in batch[vec_col]],
             }
         )
 
-    return partials.groupby("qid").map_groups(per_query, batch_format="pandas")
+    bucketed = emb_ds.map_batches(assign, batch_format="pandas")
+
+    # bucket -> list of probing queries (small driver-side table, broadcast)
+    qsims = qmat @ cents.T
+    probes_by_bucket: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for b in np.argsort(-qsims[qi])[:nprobe]:
+            probes_by_bucket.setdefault(int(b), []).append(qi)
+    pref = ray.put((qids, qmat, probes_by_bucket))
+
+    def search_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        all_qids, qm, by_bucket = ray.get(pref)
+        out = {"qid": [], "vid": [], "sim": []}
+        kk = k + (1 if exclude_self else 0)
+        for bucket, sub in g.groupby("bucket", sort=False):
+            probing = by_bucket.get(int(bucket))
+            if not probing:
+                continue
+            vids = sub[id_col].to_numpy(dtype=np.int64)
+            m = _normalize(_as_matrix(sub[vec_col], vec_col))
+            sims = qm[probing] @ m.T
+            for row_i, qi in enumerate(probing):
+                for j in _topk_tie_safe(sims[row_i], vids, kk):
+                    out["qid"].append(int(all_qids[qi]))
+                    out["vid"].append(int(vids[j]))
+                    out["sim"].append(float(sims[row_i, j]))
+        return pd.DataFrame(out)
+
+    partials = hash_aggregate(bucketed, ["bucket"], search_buckets)
+    return _per_query_reduce(partials, k, exclude_self)

@@ -41,9 +41,11 @@ def word_shingles(text: str, n: int = 3) -> set[str]:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """content md5 -> groupby(hash) -> (hash, keep_id=min id, n_dups).
-    The vectorized hash runs inside map_batches; the groupby only moves
-    (hash, id) pairs, not the texts."""
+    """content md5 -> bucketed hash aggregate -> (hash, keep_id=min id,
+    n_dups). The vectorized hash runs inside map_batches; the shuffle moves
+    only (hash, id) pairs, and the aggregation is ONE pandas groupby per
+    int bucket (no per-distinct-hash UDF dispatch)."""
+    from .relational import hash_aggregate
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -55,16 +57,15 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     hashed = ds.map_batches(hash_batch, batch_format="pandas")
 
-    def per_hash(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "h": [group["h"].iloc[0]],
-                "keep_id": [int(group[id_col].min())],
-                "n_dups": [int(len(group))],
-            }
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            keep_id=(id_col, "min"), n_dups=(id_col, "size")
         )
+        out["keep_id"] = out["keep_id"].astype("int64")
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
 
-    return hashed.groupby("h").map_groups(per_hash, batch_format="pandas")
+    return hash_aggregate(hashed, ["h"], agg)
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +107,9 @@ def minhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text",
             sigs = [self.mh.signature(t).tobytes() for t in batch[text_col]]
             return pd.DataFrame({"id": pd.array(ids, dtype="int64"), "sig": sigs})
 
-    return ds.map_batches(Sigs, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    # stateless-cheap setup (two numpy arrays): an elastic task pool uses
+    # every free CPU instead of capping the stage at a fixed actor count
+    return ds.map_batches(Sigs(), batch_format="pandas")
 
 
 def minhash_band_rows(sig_ds, *, num_perm: int = 64, bands: int = 16):
@@ -134,16 +137,43 @@ def minhash_band_rows(sig_ds, *, num_perm: int = 64, bands: int = 16):
     return sig_ds.map_batches(explode, batch_format="pandas")
 
 
+def _attach_pair_payload(pairs, payload_ds, payload_col: str, *, num_buckets: int = 32):
+    """Partitioned-join helper: attach a per-id payload column to both ends
+    of a (src, dst) pair table -> columns (src, dst, {payload}_s, {payload}_d).
+
+    Two explicit hash-partitioned joins of pairs against the payload table —
+    no driver materialization, no broadcast of corpus-shaped state; this is
+    the 100 TB path for candidate verification."""
+    import pandas as pd
+
+    from .relational import partitioned_join
+
+    def as_src(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch["id"].astype("int64"),
+                             f"{payload_col}_s": batch[payload_col]})
+
+    def as_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst": batch["id"].astype("int64"),
+                             f"{payload_col}_d": batch[payload_col]})
+
+    j1 = partitioned_join(
+        pairs, payload_ds.map_batches(as_src, batch_format="pandas"),
+        ["src"], num_buckets=num_buckets,
+    )
+    return partitioned_join(
+        j1, payload_ds.map_batches(as_dst, batch_format="pandas"),
+        ["dst"], num_buckets=num_buckets,
+    )
+
+
 def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0.7):
     """groupby(band, band_hash) -> candidate pairs (src < dst), deduped,
-    then verified against the broadcast signatures of candidate docs only
-    (candidates are a tiny fraction of the corpus; the at-scale fallback is
-    a partitioned join of pairs against the signature table).
+    then verified by a partitioned join of the pairs against the signature
+    table (both ends) — fully distributed; nothing corpus-shaped ever
+    reaches the driver.
 
     Verification = signature-estimated Jaccard >= threshold (the standard
     MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs."""
-    import ray
-
     from .relational import hash_aggregate
 
     def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -163,36 +193,19 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["src", "dst"])
 
-    pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs).materialize()
+    pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs)
 
-    cand_ids = set()
-    for row in pairs.take_all():
-        cand_ids.add(row["src"])
-        cand_ids.add(row["dst"])
-    if not cand_ids:
-        return pairs
+    withsigs = _attach_pair_payload(pairs, sig_ds, "sig")
 
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["id"].isin(cand_ids)]
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch[["src", "dst"]]
+        a = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig_s"]])
+        b = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig_d"]])
+        est = (a == b).mean(axis=1)
+        return batch.loc[est >= verify_threshold, ["src", "dst"]]
 
-    sig_map = {
-        r["id"]: np.frombuffer(r["sig"], dtype=np.uint64)
-        for r in sig_ds.map_batches(keep, batch_format="pandas").take_all()
-    }
-    ref = ray.put(sig_map)
-
-    class Verify:
-        def __init__(self):
-            self.sigs = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keepmask = []
-            for s, d in zip(batch["src"], batch["dst"]):
-                est = float(np.mean(self.sigs[int(s)] == self.sigs[int(d)]))
-                keepmask.append(est >= verify_threshold)
-            return batch[pd.Series(keepmask, index=batch.index)]
-
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    return withsigs.map_batches(verify, batch_format="pandas")
 
 
 def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -278,46 +291,34 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", ngram: int = 3,
                          threshold: float = 0.7):
-    """Re-check candidate pairs with exact shingle Jaccard. The candidate
-    docs' shingle sets are broadcast (candidates are a tiny fraction of the
-    corpus); at larger candidate volumes switch to a partitioned join on id.
-    """
-    import ray
-
-    cand_ids = set()
-    for row in pairs_ds.take_all():
-        cand_ids.add(row["src"])
-        cand_ids.add(row["dst"])
+    """Re-check candidate pairs with exact shingle Jaccard via a
+    partitioned join of pairs against per-doc shingle sets — fully
+    distributed (the inner join drops every non-candidate doc's shingles
+    inside the shuffle; no driver-side candidate set, no broadcast)."""
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        sub = batch[batch[id_col].astype("int64").isin(cand_ids)]
         return pd.DataFrame(
             {
-                "id": sub[id_col].astype("int64"),
-                "shingles": [sorted(word_shingles(t, ngram)) for t in sub[text_col]],
+                "id": batch[id_col].astype("int64"),
+                "shingles": [sorted(word_shingles(t, ngram)) for t in batch[text_col]],
             }
         )
 
-    sh = {r["id"]: set(r["shingles"]) for r in docs_ds.map_batches(shingle_rows, batch_format="pandas").take_all()}
-    sh_ref = ray.put(sh)
+    sh_ds = docs_ds.map_batches(shingle_rows, batch_format="pandas")
+    joined = _attach_pair_payload(pairs_ds, sh_ds, "shingles")
 
-    class Verify:
-        def __init__(self):
-            self.sh = ray.get(sh_ref)
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        keep, jac = [], []
+        for sa, sb in zip(batch["shingles_s"], batch["shingles_d"]):
+            a, b = set(sa), set(sb)
+            j = len(a & b) / len(a | b) if (a or b) else 0.0
+            keep.append(j >= threshold)
+            jac.append(j)
+        out = batch[["src", "dst"]].copy()
+        out["jaccard"] = jac
+        return out[pd.Series(keep, index=out.index)]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keep = []
-            jac = []
-            for s, d in zip(batch["src"], batch["dst"]):
-                a, b = self.sh.get(int(s), set()), self.sh.get(int(d), set())
-                j = len(a & b) / len(a | b) if (a or b) else 0.0
-                keep.append(j >= threshold)
-                jac.append(j)
-            out = batch.copy()
-            out["jaccard"] = jac
-            return out[pd.Series(keep, index=out.index)]
-
-    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -326,69 +327,68 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
 
 def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                      threshold: float = 0.95, num_planes: int = 12, seed: int = 11,
-                     lsh: bool = False):
+                     lsh: bool = True):
     """Near-duplicate vector pairs by cosine similarity.
 
-    Default path: per-batch float64 sims against the full broadcast matrix
-    (exact; fine while the matrix fits workers). ``lsh=True`` switches to
-    random-hyperplane bucketing (groupby bucket, pairwise within bucket) —
-    the 100 TB path; recall depends on num_planes vs threshold.
+    DEFAULT = random-hyperplane LSH bucketing (bucket shuffle, pairwise
+    within bucket) — the 100 TB path; nothing corpus-shaped touches the
+    driver; recall depends on num_planes vs threshold. ``lsh=False`` opts
+    into exact O(N^2) brute force, which materializes the full embedding
+    matrix as a broadcast — correct, but for small inputs only (kept as
+    the recall oracle the tests verify the LSH path against).
     """
     import ray
 
-    mat_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in mat_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
+    from .relational import hash_aggregate
 
     if not lsh:
-        ref = ray.put((ids, matn))
+        mat_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+        ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
+        mat = np.array([r[vec_col] for r in mat_rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        ref = ray.put((ids, mat / norms[:, None]))
 
-        class Brute:
-            def __init__(self):
-                self.ids, self.matn = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                v = np.array(list(batch[vec_col]), dtype=np.float64)
-                n = np.linalg.norm(v, axis=1)
-                n[n == 0] = 1.0
-                sims = (v / n[:, None]) @ self.matn.T
-                src, dst = [], []
-                for row_i, qid in enumerate(batch[id_col].astype("int64")):
-                    hits = self.ids[sims[row_i] >= threshold]
-                    for h in hits:
-                        if qid < h:
-                            src.append(int(qid))
-                            dst.append(int(h))
-                return pd.DataFrame(
-                    {"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")}
-                )
-
-        return emb_ds.map_batches(Brute, batch_format="pandas", concurrency=2, num_cpus=0.5)
-
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(num_planes, mat.shape[1])
-    planes_ref = ray.put(planes)
-
-    class Bucketize:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def brute(batch: pd.DataFrame) -> pd.DataFrame:
+            # ray.get resolves from the worker-local object store after the
+            # first call — the broadcast is shipped once per node, not per batch
+            all_ids, matn = ray.get(ref)
             v = np.array(list(batch[vec_col]), dtype=np.float64)
-            bits = (v @ self.planes.T) > 0
-            bucket = bits @ (1 << np.arange(self.planes.shape[0], dtype=np.int64))
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1.0
+            sims = (v / n[:, None]) @ matn.T
+            src, dst = [], []
+            for row_i, qid in enumerate(batch[id_col].astype("int64")):
+                hits = all_ids[sims[row_i] >= threshold]
+                for h in hits:
+                    if qid < h:
+                        src.append(int(qid))
+                        dst.append(int(h))
             return pd.DataFrame(
-                {
-                    "bucket": pd.array(bucket, dtype="int64"),
-                    "id": batch[id_col].astype("int64"),
-                    "vec": [list(map(float, x)) for x in v],
-                }
+                {"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")}
             )
 
-    rows = emb_ds.map_batches(Bucketize, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        return emb_ds.map_batches(brute, batch_format="pandas")
+
+    # LSH path: only the embedding DIMENSION is read on the driver
+    dim = len(emb_ds.take(1)[0][vec_col])
+    rng = np.random.RandomState(seed)
+    planes_ref = ray.put(rng.randn(num_planes, dim))
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        planes = ray.get(planes_ref)
+        v = np.array(list(batch[vec_col]), dtype=np.float64)
+        bits = (v @ planes.T) > 0
+        bucket = bits @ (1 << np.arange(planes.shape[0], dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "bucket": pd.array(bucket, dtype="int64"),
+                "id": batch[id_col].astype("int64"),
+                "vec": [list(map(float, x)) for x in v],
+            }
+        )
+
+    rows = emb_ds.map_batches(bucketize, batch_format="pandas")
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids_l = group["id"].tolist()
@@ -406,7 +406,10 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
                     dst.append(b)
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
-    from .relational import hash_aggregate
+    def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # one task handles many LSH buckets — no per-bucket UDF dispatch
+        frames = [per_bucket(sub) for _k, sub in g.groupby("bucket", sort=False)]
+        return pd.concat(frames, ignore_index=True) if frames else per_bucket(g)
 
-    pairs = rows.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    pairs = hash_aggregate(rows, ["bucket"], buckets_fn)
     return hash_aggregate(pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))

@@ -57,11 +57,13 @@ class MentionEmbedder:
 
 
 def embed_mentions(ds, *, dim: int = DIM_DEFAULT, surface_col: str = "surface",
-                   concurrency=(1, 4)):
+                   concurrency=None):
+    from .pools import pool_size
+
     return ds.map_batches(
         MentionEmbedder,
         fn_constructor_kwargs={"dim": dim, "surface_col": surface_col},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=concurrency or pool_size(0.5),
         num_cpus=0.5,
     )

@@ -114,53 +114,61 @@ def detect_and_classify(
     batch_size: int = 4096,
     num_cpus: float = 0.5,
     backend: str = "tasks",
+    scorer: str = "rules",
+    num_gpus: float = 0,
 ):
     """read columns (conv_id, turn_idx, text, tool, ...) -> + mentions col.
 
-    Scorer-backend registry (SURVEY §2.10):
+    ``scorer`` selects the model backend from the registry in
+    stages/detect.py (rules / oracle / hf — the reference's model_mode
+    registry, SURVEY §2.10); ``backend`` selects the execution shape:
 
-    - ``tasks`` (default for the rules backend): detector+classifier FUSED
-      into one stateless map_batches task — the rules backend's per-call
-      state (compiled patterns, gazetteer set) is cheap to hold per worker
+    - ``tasks`` (default for cheap-state scorers): scoring FUSED into one
+      stateless map_batches task — the rules backend's per-call state
+      (compiled patterns, gazetteer set) is cheap to hold per worker
       process, and an elastic task pool uses every free CPU (measured 2.3x
       faster and near-linear 8->32 scaling vs a fixed actor pool at this
       state size).
-    - ``actors``: two actor pools with per-actor ``__init__`` state — the
-      shape a heavy backend (HF transformer weights, GPU) requires. Pass a
-      fixed int ``concurrency`` sized ~num_cpus/4 per pool; autoscaling
-      (min, max) ramps too slowly for batch jobs.
+    - ``actors``: an actor pool constructing the backend ONCE per actor in
+      ``__init__`` — the shape a heavy backend (HF transformer weights,
+      GPU) requires. Pass a fixed int ``concurrency`` sized ~num_cpus/4;
+      autoscaling (min, max) ramps too slowly for batch jobs; set
+      ``num_gpus=1`` for GPU scorers.
     """
     if backend == "tasks":
-        det = SpanDetector(max_tokens)
-        clf = SpanClassifier()
+        if scorer == "rules":
+            # fused fast path with the vectorized uppercase prefilter
+            det = SpanDetector(max_tokens)
+            clf = SpanClassifier()
 
-        def detect_classify(batch: pa.Table) -> pa.Table:
-            return clf(det(batch))
+            def detect_classify(batch: pa.Table) -> pa.Table:
+                return clf(det(batch))
 
+            fn = detect_classify
+        else:
+            from .detect import ScorerActor
+
+            fn = ScorerActor(scorer=scorer, max_tokens=max_tokens)
         return ds.map_batches(
-            detect_classify,
+            fn,
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
         )
-    ds = ds.map_batches(
-        SpanDetector,
-        fn_constructor_kwargs={"max_tokens": max_tokens},
+    from .detect import ScorerActor
+
+    kwargs = {"num_cpus": num_cpus}
+    if num_gpus:
+        kwargs = {"num_gpus": num_gpus}
+    return ds.map_batches(
+        ScorerActor,
+        fn_constructor_kwargs={"scorer": scorer, "max_tokens": max_tokens},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=num_cpus,
         zero_copy_batch=True,
+        **kwargs,
     )
-    ds = ds.map_batches(
-        SpanClassifier,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
-        zero_copy_batch=True,
-    )
-    return ds
 
 
 def flatten_mentions(ds):
@@ -269,13 +277,16 @@ def extract_triples_grouped(ds, window_turns: int = WINDOW_TURNS):
 
 
 def extract_raw_triples(ds, *, concurrency=None, batch_size: int = 1024,
-                        window_turns: int = WINDOW_TURNS):
+                        window_turns: int = WINDOW_TURNS,
+                        max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+                        scorer: str = "rules"):
     """Full extraction path: detect -> classify -> window -> grouped triples.
 
     SHUFFLE 1 of the stage graph (groupby conv_id+win); everything before it
     is embarrassingly parallel map_batches.
     """
-    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size)
+    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size,
+                             max_tokens=max_tokens, scorer=scorer)
     ds = add_windows_with_carry(ds, window_turns)
     return extract_triples_grouped(ds, window_turns)
 
@@ -305,7 +316,9 @@ COMBINED = pa.schema(
 
 
 def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
-                     window_turns: int = WINDOW_TURNS, num_buckets: int = 128):
+                     window_turns: int = WINDOW_TURNS, num_buckets: int = 128,
+                     max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+                     scorer: str = "rules"):
     """read -> detect -> classify -> window -> bucketed group extraction ->
     tagged mention+triple rows (COMBINED schema).
 
@@ -317,7 +330,8 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
     ~0.5 ms x 170k groups at bench scale dominated the whole job and grew
     linearly with corpus size.
     """
-    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size)
+    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size,
+                             max_tokens=max_tokens, scorer=scorer)
     ds = add_windows_with_carry(ds, window_turns)
 
     def bucketize(batch: pa.Table) -> pa.Table:

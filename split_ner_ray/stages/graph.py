@@ -3,100 +3,87 @@
 The KG linker never needs this (its similarity edges are block-partitioned
 by construction — stages/linking.py), but near-dup clustering does: LSH
 candidate pairs cross blocks. This operator is the engine's iterative
-dataflow: min-label propagation as a driver loop of groupby passes with a
+dataflow: min-label propagation as a driver loop of BUCKETED passes with a
 cheap convergence check (labels are monotonically non-increasing, so an
 unchanged label-sum means a fixed point). Reference analog: the k-medoids
 remap loop in utils/mention_clustering.py:44-65, lifted to dataflow.
 
-Convergence is O(component diameter) rounds; for the short-diameter
-similarity graphs this engine builds (near-dup clusters, linked surfaces)
-that is 2-4 rounds. A large-star/small-star scheme would cut worst cases to
-O(log n) at the cost of two shuffles per round — documented trade-off.
+Physical shape (the round-2 rewrite): every pass is hash-bucketed — a
+partitioned join of the symmetric edge list against the current labels
+(offer my label to each neighbor) plus one bucketed min-aggregate per node.
+No per-node UDF dispatch anywhere: at 10^8 nodes each round is two bucketed
+shuffles of (int, int) rows with vectorized pandas min inside, not 2N
+map_groups calls. Convergence is O(component diameter) rounds; the
+similarity graphs this engine builds (near-dup clusters) have short
+diameters (2-4 rounds). A large-star/small-star scheme would cut worst
+cases to O(log n) at the cost of two joins per round — documented
+trade-off.
 """
 
 from __future__ import annotations
 
-import pyarrow as pa
-import pyarrow.compute as pc
-
-_PAIR = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+import pandas as pd
 
 
-def connected_components(edges_ds, *, max_iter: int = 20):
+def _label_sum(ds) -> int:
+    from ray.data.aggregate import Sum
+
+    row = ds.aggregate(Sum("label", alias_name="s"))
+    return int(row["s"]) if row and row.get("s") is not None else 0
+
+
+def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64):
     """edges (src:int64, dst:int64) -> Dataset (node:int64, label:int64)
     where label = min node id of the component."""
+    from .relational import hash_aggregate, partitioned_join
 
-    def to_pairs(batch: pa.Table) -> pa.Table:
-        fwd = pa.Table.from_pydict(
-            {"node": batch.column("src"), "label": batch.column("dst")}, schema=_PAIR
+    def to_sym(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"node": batch["src"].astype("int64"),
+                            "nbr": batch["dst"].astype("int64")})
+        rev = pd.DataFrame({"node": batch["dst"].astype("int64"),
+                            "nbr": batch["src"].astype("int64")})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    sym = edges_ds.map_batches(to_sym, batch_format="pandas").materialize()
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["label"].min()
+        out["node"] = out["node"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    # seed: label(v) = min(v, neighbors(v))
+    def seed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame({"node": batch["node"], "label": batch["nbr"]}),
+                pd.DataFrame({"node": batch["node"], "label": batch["node"]}),
+            ],
+            ignore_index=True,
         )
-        rev = pa.Table.from_pydict(
-            {"node": batch.column("dst"), "label": batch.column("src")}, schema=_PAIR
-        )
-        return pa.concat_tables([fwd, rev])
 
-    # symmetric neighbor candidates + self labels, iterated to fixed point
-    sym = edges_ds.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    labels = hash_aggregate(
+        sym.map_batches(seed, batch_format="pandas"), ["node"], min_label,
+        num_buckets=num_buckets,
+    ).materialize()
 
-    def min_per_node(group: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "node": group.column("node").slice(0, 1),
-                "label": pa.array([pc.min(group.column("label")).as_py()], pa.int64()),
-            },
-            schema=_PAIR,
-        )
-
-    labels = sym.groupby("node").map_groups(min_per_node, batch_format="pyarrow").materialize()
-
-    def label_sum(ds) -> int:
-        from ray.data.aggregate import Sum
-
-        row = ds.aggregate(Sum("label", alias_name="s"))
-        return int(row["s"]) if row and row.get("s") is not None else 0
-
-    prev = label_sum(labels)
+    prev = _label_sum(labels)
     for _ in range(max_iter):
-        # propagate: each node's current label is offered to its neighbors
-        def attach(group: pa.Table) -> pa.Table:
-            # group rows: one 'lab' row (kind=0, the node's label) and the
-            # node's neighbors (kind=1); offer the label to every neighbor
-            kinds = group.column("kind").to_pylist()
-            vals = group.column("val").to_pylist()
-            node = group.column("key").to_pylist()[0]
-            lab = min(vals[i] for i in range(len(kinds)) if kinds[i] == 0)
-            nbrs = [vals[i] for i in range(len(kinds)) if kinds[i] == 1]
-            return pa.Table.from_pydict(
-                {"node": nbrs + [node], "label": [lab] * (len(nbrs) + 1)},
-                schema=_PAIR,
-            )
+        # offer: each node sends its current label to every neighbor
+        joined = partitioned_join(sym, labels, ["node"], num_buckets=num_buckets)
 
-        def lab_rows(batch: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict(
+        def offers(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
                 {
-                    "key": batch.column("node"),
-                    "val": batch.column("label"),
-                    "kind": pa.array([0] * batch.num_rows, pa.int8()),
-                },
+                    "node": batch["nbr"].astype("int64"),
+                    "label": batch["label"].astype("int64"),
+                }
             )
 
-        def edge_rows(batch: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict(
-                {
-                    "key": batch.column("node"),
-                    "val": batch.column("label"),
-                    "kind": pa.array([1] * batch.num_rows, pa.int8()),
-                },
-            )
-
-        msgs = labels.map_batches(lab_rows, batch_format="pyarrow").union(
-            sym.map_batches(edge_rows, batch_format="pyarrow")
-        )
-        candidates = msgs.groupby("key").map_groups(attach, batch_format="pyarrow")
-        labels = (
-            candidates.groupby("node").map_groups(min_per_node, batch_format="pyarrow").materialize()
-        )
-        cur = label_sum(labels)
+        candidates = joined.map_batches(offers, batch_format="pandas").union(labels)
+        labels = hash_aggregate(candidates, ["node"], min_label,
+                                num_buckets=num_buckets).materialize()
+        cur = _label_sum(labels)
         if cur == prev:
             break
         prev = cur

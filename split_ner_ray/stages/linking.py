@@ -16,7 +16,14 @@ The reference clusters mention embeddings with k-medoids on one node
    stages/graph.py).
 3. canonical map (etype, norm) -> canonical norm, entity_id; broadcast to
    the id-assignment stage when small (ray.put once, read per actor), else
-   attached via the partitioned hash join in stages/joins.py.
+   attached via the partitioned hash join in stages/relational.py.
+
+Scale invariant (the round-2 scaling fix): only LINKABLE_ETYPES ever reach
+the driver or the broadcast map. Non-linkable surfaces (ids, tools) grow
+linearly with the corpus, but their entity_id is a pure function
+rules.entity_id(etype, norm) — computed inline in every parallel scan, never
+collected. The driver-side work is therefore bounded by the *linkable
+vocabulary* (gazetteer-sized), independent of corpus size.
 
 Skew note: hot blocks (e.g. person|al) are bounded by the distinct-surface
 count per block, not mention count, because dedup happens before pairwise
@@ -38,6 +45,96 @@ CANON_SCHEMA = pa.schema(
         ("entity_id", pa.string()),
     ]
 )
+
+
+def occ_partials_from_tables(mentions_flat, raw_triples):
+    """Per-batch partial occurrence counts (etype, surface, n) from mention
+    rows + both triple endpoints (oracle.build_graph's occurrence
+    definition). Combiner pattern: each batch pre-aggregates before the
+    shuffle; aggregate_occ finishes the job."""
+    import pandas as pd
+
+    def occ_m(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["etype", "surface"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def occ_t(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                batch[["subj_etype", "subj_surface"]].rename(
+                    columns={"subj_etype": "etype", "subj_surface": "surface"}
+                ),
+                batch[["obj_etype", "obj_surface"]].rename(
+                    columns={"obj_etype": "etype", "obj_surface": "surface"}
+                ),
+            ]
+        )
+        g = both.groupby(["etype", "surface"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    return mentions_flat.map_batches(occ_m, batch_format="pandas", batch_size=32768).union(
+        raw_triples.map_batches(occ_t, batch_format="pandas", batch_size=32768)
+    )
+
+
+def aggregate_occ(partials):
+    """(etype, surface, n) partial rows -> DISTRIBUTED distinct occurrence
+    table (etype, surface, norm, n). One bucketed int-key shuffle; norm is
+    computed per bucket over the already-distinct surfaces. Nothing here
+    ever touches the driver — occ stays a Dataset (it is distinct-pair
+    sized, i.e. grows with vocabulary + identifier count, not turns)."""
+    import pandas as pd
+
+    from .relational import hash_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["etype", "surface"], as_index=False)["n"].sum()
+        out["norm"] = rules.normalize_series(out["surface"])
+        out["n"] = out["n"].astype("int64")
+        return out[["etype", "surface", "norm", "n"]]
+
+    return hash_aggregate(partials, ["etype", "surface"], per_bucket)
+
+
+def canonicalize_linkable(occ_ds, *, threshold: float | None = None,
+                          emb_threshold: float | None = None) -> pa.Table:
+    """occ Dataset -> canon Arrow table for LINKABLE keys only.
+
+    Collects ONLY the distinct linkable (etype, norm) keys to the driver —
+    bounded by the linkable vocabulary (people/orgs/places/products), NOT by
+    the corpus — then blocks + clusters them through the SAME
+    rules.cluster_block the oracle uses. Non-linkable keys never appear in
+    this table; their ids are computed inline (rules.entity_id) wherever
+    needed. At a scale where even the linkable vocabulary outgrows the
+    driver, swap in build_canon_map (fully distributed, same semantics)."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    def linkable_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["etype"].isin(list(rules.LINKABLE_ETYPES))]
+        return sub[["etype", "norm"]].drop_duplicates()
+
+    parts = occ_ds.map_batches(linkable_keys, batch_format="pandas").to_pandas()
+    keys = parts.drop_duplicates() if len(parts) else parts
+
+    blocks: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for et, norm in zip(keys.get("etype", []), keys.get("norm", [])):
+        blocks[rules.block_key(norm, et)].append((et, norm))
+    canon: dict[tuple[str, str], str] = {}
+    for bk in sorted(blocks):
+        canon.update(rules.cluster_block(blocks[bk], threshold, emb_threshold))
+
+    ks = sorted(canon)
+    return pa.Table.from_pydict(
+        {
+            "etype": [k[0] for k in ks],
+            "norm": [k[1] for k in ks],
+            "canonical_norm": [canon[k] for k in ks],
+            "entity_id": [rules.entity_id(k[0], canon[k]) for k in ks],
+        },
+        schema=CANON_SCHEMA,
+    )
 
 
 def mention_keys(mentions_flat, raw_triples):
@@ -118,8 +215,11 @@ class IdAssigner:
 
     The canon map object ref is resolved ONCE per actor in __init__
     (ray.put on the driver, ray.get here) — never re-shipped per batch.
-    For canon maps too large to broadcast, use stages/joins.partitioned_join
-    on (etype, norm) instead (documented fallback).
+    The map covers LINKABLE keys only; non-linkable ids are the pure
+    function rules.entity_id(etype, norm), computed inline — so the
+    broadcast stays vocabulary-bounded at any corpus size. For linkable
+    vocabularies too large to broadcast, use
+    stages/relational.partitioned_join on (etype, norm) instead.
     """
 
     def __init__(self, canon_ref):
@@ -149,7 +249,7 @@ class IdAssigner:
             d = pd.DataFrame({"et": ets, "surf": surfs, "key": keys}).drop_duplicates("key")
             d_norm = rules.normalize_series(d["surf"])
             lut = {
-                k: self.eid[(et, norm)]
+                k: self.eid.get((et, norm)) or rules.entity_id(et, norm)
                 for k, et, norm in zip(d["key"], d["et"], d_norm)
             }
             out_cols.append(keys.map(lut))
@@ -282,109 +382,77 @@ def dedup_triples(ds_with_ids):
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def build_nodes(mentions_flat, raw_triples, canon_ref, *, concurrency=None):
-    """NODES table: canonical surface + mention-occurrence counts.
+# per-worker cache of the (etype, norm) -> (entity_id, canonical_norm) dict
+# (same per-process memo pattern as _EID_CACHE; one canon map per job)
+_INFO_CACHE: dict[str, dict] = {}
 
-    Occurrences = every mention row + every triple endpoint (matching
-    oracle.build_graph). Partial counts per batch, then one small groupby.
-    """
-    from ..schemas import NODES
 
-    import pandas as pd
+def _info_map(canon_ref) -> dict:
+    import ray
 
-    def occ_mentions(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["etype", "surface"], as_index=False).size().rename(columns={"size": "n"})
-        return _occ_frame(g)
-
-    def occ_triples(batch: pd.DataFrame) -> pd.DataFrame:
-        both = pd.concat(
-            [
-                batch[["subj_etype", "subj_surface"]].rename(
-                    columns={"subj_etype": "etype", "subj_surface": "surface"}
-                ),
-                batch[["obj_etype", "obj_surface"]].rename(
-                    columns={"obj_etype": "etype", "obj_surface": "surface"}
-                ),
-            ]
-        )
-        g = both.groupby(["etype", "surface"], as_index=False).size().rename(columns={"size": "n"})
-        return _occ_frame(g)
-
-    def _occ_frame(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["norm"] = rules.normalize_series(g["surface"])
-        g["n"] = g["n"].astype("int64")
-        return g[["etype", "norm", "surface", "n"]]
-
-    occ = mentions_flat.map_batches(occ_mentions, batch_format="pandas", batch_size=16384).union(
-        raw_triples.map_batches(occ_triples, batch_format="pandas", batch_size=16384)
-    )
-
-    class NodeFinalizer:
-        def __init__(self, canon_ref):
-            import ray
-
-            canon: pa.Table = ray.get(canon_ref)
-            self.info = {}
+    key = canon_ref.hex()
+    m = _INFO_CACHE.get(key)
+    if m is None:
+        canon: pa.Table = ray.get(canon_ref)
+        m = {
+            (et, norm): (eid, cn)
             for et, norm, cn, eid in zip(
                 canon.column("etype").to_pylist(),
                 canon.column("norm").to_pylist(),
                 canon.column("canonical_norm").to_pylist(),
                 canon.column("entity_id").to_pylist(),
-            ):
-                self.info[(et, norm)] = (eid, cn)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            eids, cns = [], []
-            for et, norm in zip(batch.column("etype").to_pylist(), batch.column("norm").to_pylist()):
-                eid, cn = self.info[(et, norm)]
-                eids.append(eid)
-                cns.append(cn)
-            return batch.append_column("entity_id", pa.array(eids, pa.string())).append_column(
-                "canonical_norm", pa.array(cns, pa.string())
             )
+        }
+        _INFO_CACHE.clear()
+        _INFO_CACHE[key] = m
+    return m
 
-    # canonical-surface choice as a hash aggregate: eligible surfaces (norm
-    # == canonical norm) are prefixed "0", others "1" -> Min picks the
-    # lexicographically smallest eligible surface, falling back to the
-    # smallest surface overall — exactly the oracle contract — without a
-    # sort-based map_groups.
-    class SurfKey(NodeFinalizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = super().__call__(batch)
-            keys = []
-            for surf, norm, cn in zip(
-                batch.column("surface").to_pylist(),
-                batch.column("norm").to_pylist(),
-                batch.column("canonical_norm").to_pylist(),
-            ):
-                keys.append(("0" if norm == cn else "1") + surf)
-            return pa.Table.from_pydict(
-                {
-                    "entity_id": batch.column("entity_id"),
-                    "etype": batch.column("etype"),
-                    "surf_key": keys,
-                    "n": batch.column("n"),
-                }
-            )
 
+def build_nodes_from_occ(occ_ds, canon_ref):
+    """NODES table, fully distributed, from the distinct occurrence table
+    (etype, surface, norm, n) produced by aggregate_occ.
+
+    Linkable keys resolve (entity_id, canonical_norm) through the broadcast
+    canon map (per-worker cached); non-linkable keys compute both inline
+    (canonical form = own norm, id = rules.entity_id) — nothing
+    corpus-shaped reaches the driver. Canonical-surface choice is a Min
+    aggregate over prefixed surf_keys: eligible surfaces (norm == canonical
+    norm) are prefixed "0", others "1", so Min picks the lexicographically
+    smallest eligible surface, falling back to the smallest surface overall
+    — exactly the oracle contract — without a sort-based map_groups."""
+    import pandas as pd
+
+    from ..schemas import NODES
     from .relational import hash_aggregate
 
-    occ = occ.map_batches(
-        SurfKey,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency or 4,
-        num_cpus=0.5,
-    )
+    def surf_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        info = _info_map(canon_ref)
+        eids, keys = [], []
+        for et, norm, surf in zip(batch["etype"], batch["norm"], batch["surface"]):
+            hit = info.get((et, norm))
+            if hit is not None:
+                eid, cn = hit
+            else:
+                eid, cn = rules.entity_id(et, norm), norm
+            eids.append(eid)
+            keys.append(("0" if norm == cn else "1") + surf)
+        return pd.DataFrame(
+            {
+                "entity_id": eids,
+                "etype": batch["etype"],
+                "surf_key": keys,
+                "n": batch["n"].astype("int64"),
+            }
+        )
 
-    def node_agg(g):
+    rows = occ_ds.map_batches(surf_keys, batch_format="pandas", batch_size=16384)
+
+    def node_agg(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["entity_id", "etype"], as_index=False).agg(
             surf_key=("surf_key", "min"), n_mentions=("n", "sum")
         )
 
-    agg = hash_aggregate(occ, ["entity_id"], node_agg)
+    agg = hash_aggregate(rows, ["entity_id"], node_agg)
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

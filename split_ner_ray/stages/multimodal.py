@@ -139,7 +139,7 @@ class MediaResize:
 
 
 def frame_sample(ds, every: int = 2, *, decoder_cls=SyntheticCodecDecoder,
-                 concurrency=2, batch_size: int = 32):
+                 concurrency=None, batch_size: int = 32):
     """Actor-pool stage: keep every ``every``-th frame of video payloads."""
 
     class Sampler:
@@ -160,29 +160,35 @@ def frame_sample(ds, every: int = 2, *, decoder_cls=SyntheticCodecDecoder,
             out["meta"] = metas
             return out
 
+    from .pools import pool_size
+
     return ds.map_batches(Sampler, batch_format="pandas", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=0.5)
+                          concurrency=concurrency or pool_size(0.5), num_cpus=0.5)
 
 
-def extract_features(ds, *, decoder_cls=SyntheticCodecDecoder, concurrency=2,
+def extract_features(ds, *, decoder_cls=SyntheticCodecDecoder, concurrency=None,
                      batch_size: int = 32):
+    from .pools import pool_size
+
     return ds.map_batches(
         MediaFeatures,
         fn_constructor_kwargs={"decoder_cls": decoder_cls},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or pool_size(0.5),
         num_cpus=0.5,
     )
 
 
 def resize(ds, out_h: int = 8, out_w: int = 8, *, decoder_cls=SyntheticCodecDecoder,
-           concurrency=2, batch_size: int = 32):
+           concurrency=None, batch_size: int = 32):
+    from .pools import pool_size
+
     return ds.map_batches(
         MediaResize,
         fn_constructor_kwargs={"out_h": out_h, "out_w": out_w, "decoder_cls": decoder_cls},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or pool_size(0.5),
         num_cpus=0.5,
     )

@@ -22,39 +22,45 @@ import pandas as pd
 import pyarrow as pa
 
 
-class _BroadcastMerge:
-    def __init__(self, small_ref, on, how, suffix):
-        import ray
+# per-worker-process cache of the deserialized broadcast table (one
+# resolve per worker, not per batch; elastic task pool instead of a
+# fixed-size actor pool so the stage scales with free CPUs)
+_SMALL_CACHE: dict[str, pd.DataFrame] = {}
 
+
+def _small_frame(small_ref) -> pd.DataFrame:
+    import ray
+
+    key = small_ref.hex()
+    df = _SMALL_CACHE.get(key)
+    if df is None:
         small = ray.get(small_ref)
-        self.small = small.to_pandas() if isinstance(small, pa.Table) else small
-        self.on = on
-        self.how = how
-        self.suffix = suffix
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+        df = small.to_pandas() if isinstance(small, pa.Table) else small
+        if len(_SMALL_CACHE) > 8:
+            _SMALL_CACHE.clear()
+        _SMALL_CACHE[key] = df
+    return df
 
 
-def broadcast_join(big_ds, small, on, *, how: str = "inner", concurrency=4,
+def broadcast_join(big_ds, small, on, *, how: str = "inner", concurrency=None,
                    suffix: str = "_r"):
     """Join a big Dataset against a small in-memory table (pandas/Arrow).
 
-    ``small`` is placed in the object store once; actors hold the
-    deserialized table for their lifetime.
+    ``small`` is placed in the object store once; each worker process
+    resolves + caches the deserialized table once and merges per batch.
     """
     import ray
 
     small_ref = ray.put(small)
-    return big_ds.map_batches(
-        _BroadcastMerge,
-        fn_constructor_kwargs={
-            "small_ref": small_ref, "on": on, "how": how, "suffix": suffix,
-        },
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=0.5,
-    )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_small_frame(small_ref), on=on, how=how,
+                           suffixes=("", suffix))
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return big_ds.map_batches(merge, batch_format="pandas", **kwargs)
 
 
 def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
@@ -147,8 +153,21 @@ def topk(ds, by: list[tuple[str, bool]], k: int):
     asc = [not d for _, d in by]
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
+        # tie-safe partial: keep every row tied with the k-th row on the
+        # full by-spec, so truncation can never drop a row the final sort
+        # would keep even if the caller's by-spec is not a total order
+        s = batch.sort_values(cols, ascending=asc)
+        if len(s) <= k:
+            return s
+        kth = s[cols].iloc[k - 1]
+        tied = (s[cols] == kth.values).all(axis=1)
+        cut = max(k, int(tied.to_numpy().nonzero()[0].max()) + 1)
+        return s.head(cut)
+
+    def final_cut(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(cols, ascending=asc).head(k)
 
     partials = ds.map_batches(local, batch_format="pandas")
-    final = partials.repartition(1).map_batches(local, batch_format="pandas", batch_size=None)
-    return final
+    return partials.repartition(1).map_batches(
+        final_cut, batch_format="pandas", batch_size=None
+    )

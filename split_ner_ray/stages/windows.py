@@ -10,7 +10,6 @@ global row order is irrelevant (documented contract, SURVEY.md §2.9).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 
@@ -33,20 +32,34 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
     (key, session_idx, n_events, start_ts, end_ts, duration_s).
     """
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
+    from .relational import hash_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized pandas pass sessionizes every key in the bucket
+        # (no per-key UDF dispatch — the 10^8-user path): sort by (key, ts),
+        # session breaks at key changes or gaps, one groupby over break ids.
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
         ts = g[ts_col]
-        new_session = (ts.diff().dt.total_seconds() > gap_s).fillna(True)
-        sid = new_session.cumsum() - 1
+        same_key = g[key_col].eq(g[key_col].shift())
+        gap_ok = ts.diff().dt.total_seconds() <= gap_s
+        new_session = ~(same_key & gap_ok)
+        sid = new_session.cumsum()
         out = g.groupby(sid.to_numpy()).agg(
-            n_events=(ts_col, "size"), start_ts=(ts_col, "min"), end_ts=(ts_col, "max")
+            **{
+                key_col: (key_col, "first"),
+                "n_events": (ts_col, "size"),
+                "start_ts": (ts_col, "min"),
+                "end_ts": (ts_col, "max"),
+            }
+        ).reset_index(drop=True)
+        out.insert(
+            1, "session_idx",
+            out.groupby(key_col).cumcount().astype("int64"),
         )
-        out = out.reset_index(drop=True)
-        out.insert(0, key_col, g[key_col].iloc[0])
-        out.insert(1, "session_idx", np.arange(len(out), dtype=np.int64))
+        out["n_events"] = out["n_events"].astype("int64")
         out["duration_s"] = (
             (out["end_ts"] - out["start_ts"]).dt.total_seconds().astype("int64")
         )
         return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return hash_aggregate(ds, [key_col], per_bucket)

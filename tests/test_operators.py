@@ -149,9 +149,10 @@ def test_cosine_dup_pairs(rd):
     base = rng.randn(64)
     vecs = [base, base + rng.randn(64) * 0.01, rng.randn(64)]
     df = pd.DataFrame({"vec_id": [0, 1, 2], "embedding": [list(v) for v in vecs]})
-    out = cosine_dup_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
+    # brute force is the exact recall oracle; LSH bucketing is the default
+    out = cosine_dup_pairs(rd.from_pandas(df), threshold=0.95, lsh=False).to_pandas()
     assert set(zip(out["src"], out["dst"])) == {(0, 1)}
-    out_lsh = cosine_dup_pairs(rd.from_pandas(df), threshold=0.95, lsh=True).to_pandas()
+    out_lsh = cosine_dup_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
     assert set(zip(out_lsh["src"], out_lsh["dst"])) == {(0, 1)}
 
 

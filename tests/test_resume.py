@@ -89,3 +89,47 @@ def test_job_matches_in_memory_pipeline(ray_session, transcripts_dir, tmp_path, 
     o_triples, _ = oracle.build_graph(smoke_transcripts)
     want = o_triples.to_pandas().sort_values(list(o_triples.schema.names)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_crash_between_write_and_commit_is_idempotent(ray_session, transcripts_dir, tmp_path):
+    """ADVICE item: a kill AFTER a group's parquet write but BEFORE its
+    manifest commit must not double-count the group's rows on resume
+    (write_parquet appends UUID-named files; the re-run deletes the
+    uncommitted group dirs first)."""
+    import pyarrow as pa
+
+    from split_ner_ray.pipelines.checkpointed import build_graph_job
+    from split_ner_ray.state import manifest as mf
+
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    build_graph_job(transcripts_dir, clean, files_per_group=1,
+                    concurrency=2, batch_size=256)
+
+    # run 2 groups, then simulate the torn state: orphan data files exist
+    # for group 2 (written) but its manifest commit never happened
+    r = build_graph_job(transcripts_dir, crashed, files_per_group=1,
+                        concurrency=2, batch_size=256, stop_after_groups=2)
+    assert r is None
+    work = os.path.join(crashed, "_work")
+    committed = sorted(mf.committed_groups(work))
+    victim = committed[-1]
+    # steal group `victim`'s data dirs as the orphan of an uncommitted run:
+    # delete its manifest so the group re-runs with stale files on disk
+    manifest_path = os.path.join(work, "_manifest", f"part-{victim:05d}.json")
+    assert os.path.exists(manifest_path)
+    os.remove(manifest_path)
+
+    build_graph_job(transcripts_dir, crashed, files_per_group=1,
+                    concurrency=2, batch_size=256)
+    for table in ("triples", "nodes", "edges"):
+        a = _read_sorted(os.path.join(clean, table))
+        b = _read_sorted(os.path.join(crashed, table))
+        pd.testing.assert_frame_equal(a, b)
+    # support counts not inflated: mentions dir for the victim group holds
+    # exactly one run's worth of rows
+    m_clean = pq.read_table(os.path.join(clean, "_work", "mentions",
+                                         f"group={victim:05d}")).num_rows
+    m_crash = pq.read_table(os.path.join(crashed, "_work", "mentions",
+                                         f"group={victim:05d}")).num_rows
+    assert m_clean == m_crash
