@@ -234,3 +234,25 @@ def triple_set_pr(got_ds, want_ds, key_cols=("subj_id", "pred", "obj_id")) -> di
     tp, fp, fn = c.get("tp", 0), c.get("fp", 0), c.get("fn", 0)
     p, r, f1 = prf(tp, fp, fn)
     return {"tp": tp, "fp": fp, "fn": fn, "precision": p, "recall": r, "f1": f1}
+
+
+def multi_seed_summary(run_metrics: list[dict]) -> dict:
+    """Multi-seed aggregation (op A4, analysis_multirun.py:427-447): per
+    metric the per-run values plus mean and population std. The reference
+    averages micro P/R/F1 across its 4 seeds; we carry macro too."""
+    import numpy as np
+
+    def agg(vals: list[float]) -> dict:
+        return {
+            "runs": [float(v) for v in vals],
+            "mean": float(np.mean(vals)),
+            "std": float(np.std(vals)),
+        }
+
+    return {
+        "n_runs": len(run_metrics),
+        "micro_p": agg([m["micro"]["precision"] for m in run_metrics]),
+        "micro_r": agg([m["micro"]["recall"] for m in run_metrics]),
+        "micro_f1": agg([m["micro"]["f1"] for m in run_metrics]),
+        "macro_f1": agg([m["macro_f1"] for m in run_metrics]),
+    }

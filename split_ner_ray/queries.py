@@ -284,17 +284,21 @@ ORDER BY event_type, window_start
 
 
 def events_sessions(sf_dir: str):
+    from .stages.relational import hash_aggregate
     from .stages.windows import sessionize
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
     s = sessionize(ds, gap_s=1800)
-    agg = s.groupby("user_id").aggregate(
-        Count(alias_name="n_sessions"), Sum("n_events", alias_name="n_events")
-    )
-    df = agg.to_pandas()
-    df["user_id"] = df["user_id"].astype("int64")
-    df["n_sessions"] = df["n_sessions"].astype("int64")
-    df["n_events"] = df["n_events"].astype("int64")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(
+            n_sessions=("session_idx", "size"), n_events=("n_events", "sum")
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    df = hash_aggregate(s, ["user_id"], agg).to_pandas()
     return df.sort_values("user_id").reset_index(drop=True)
 
 
@@ -1049,7 +1053,9 @@ def dedup_cosine_lsh_docs(sf_dir: str):
     from .stages.dedup import cosine_dup_pairs
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    df = cosine_dup_pairs(ds, threshold=COSINE_PAIR_THRESHOLD, num_planes=6).to_pandas()
+    df = cosine_dup_pairs(
+        ds, threshold=COSINE_PAIR_THRESHOLD, num_planes=4, num_tables=8
+    ).to_pandas()
     df["src"] = df["src"].astype("int64")
     df["dst"] = df["dst"].astype("int64")
     return df.sort_values(["src", "dst"]).reset_index(drop=True)

@@ -252,6 +252,51 @@ def extract_turn_triples(
     return triples
 
 
+def precompute_turn_preds(
+    text: str, mentions: list[Mention]
+) -> tuple[list[str | None], str | None]:
+    """Per-turn predicate precomputation: (pair_preds, pron_pred).
+
+    ``pair_preds[i]`` is the predicate matched by the gap text between
+    sorted mentions i and i+1 (or None); ``pron_pred`` is the predicate
+    between a leading pronoun and the first mention (or None). Both are
+    pure functions of one turn, so the pipeline computes them in the
+    parallel map stage and the reassembly shuffle never carries the turn
+    text — only these small columns (extract_turn_triples recomputes the
+    same values from text; equality is tested)."""
+    ms = sorted(mentions, key=lambda m: m.start)
+    pair_preds = [_between_pred(text, a.end, b.start) for a, b in zip(ms, ms[1:])]
+    pron_pred = None
+    first_tok = text.split(maxsplit=1)
+    if ms and first_tok and first_tok[0] in PRONOUNS:
+        pron_pred = _between_pred(text, len(first_tok[0]), ms[0].start)
+    return pair_preds, pron_pred
+
+
+def triples_from_precomputed(
+    mentions_sorted: list[Mention],
+    pair_preds: list[str | None],
+    pron_pred: str | None,
+    tool: str,
+    prev_person: str | None,
+) -> list[tuple[str, str, str, str, str]]:
+    """extract_turn_triples, fed from precompute_turn_preds outputs instead
+    of the raw text — identical results by construction (the gap matching
+    already happened in the parallel stage)."""
+    triples = []
+    ms = mentions_sorted
+    for (a, b), pred in zip(zip(ms, ms[1:]), pair_preds):
+        if pred is not None:
+            triples.append((a.surface, a.etype, pred, b.surface, b.etype))
+    if ms and prev_person is not None and pron_pred is not None:
+        m0 = ms[0]
+        triples.append((prev_person, "person", pron_pred, m0.surface, m0.etype))
+    if tool:
+        for m in ms:
+            triples.append((m.surface, m.etype, "extracted_via", tool, "tool"))
+    return triples
+
+
 def last_person(mentions: list[Mention]) -> str | None:
     p = [m for m in sorted(mentions, key=lambda m: m.start) if m.etype == "person"]
     return p[-1].surface if p else None

@@ -24,6 +24,23 @@ _WS = re.compile(r"\s+")
 
 PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
+# per-worker cache of the broadcast id->signature dict (one resolve+build
+# per worker process, not per batch)
+_SIG_LUT_CACHE: dict[str, dict] = {}
+
+
+def _sig_lut(ref) -> dict:
+    import ray
+
+    key = ref.hex()
+    lut = _SIG_LUT_CACHE.get(key)
+    if lut is None:
+        sf = ray.get(ref)
+        lut = dict(zip(sf["id"], sf["sig"]))
+        _SIG_LUT_CACHE.clear()
+        _SIG_LUT_CACHE[key] = lut
+    return lut
+
 
 def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
@@ -166,14 +183,24 @@ def _attach_pair_payload(pairs, payload_ds, payload_col: str, *, num_buckets: in
     )
 
 
-def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0.7):
-    """groupby(band, band_hash) -> candidate pairs (src < dst), deduped,
-    then verified by a partitioned join of the pairs against the signature
-    table (both ends) — fully distributed; nothing corpus-shaped ever
-    reaches the driver.
+# Signature tables below this row count are broadcast for candidate
+# verification (ray.put once, worker-cached — a normal broadcast-join
+# small-side decision, ~100 MB at the limit); above it the pairs are
+# verified by partitioned joins against the signature table — the 100 TB
+# path, where nothing corpus-shaped ever leaves the cluster.
+BROADCAST_SIGS_LIMIT = 200_000
+
+
+def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0.7,
+                               broadcast_sigs_limit: int = BROADCAST_SIGS_LIMIT):
+    """groupby(band, band_hash) -> candidate pairs (src < dst), verified
+    against the signatures (broadcast under the limit, partitioned joins
+    above), deduped.
 
     Verification = signature-estimated Jaccard >= threshold (the standard
     MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs."""
+    import ray
+
     from .relational import hash_aggregate
 
     def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -193,8 +220,24 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["src", "dst"])
 
-    pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs)
+    if sig_ds.count() <= broadcast_sigs_limit:
+        # broadcast verify first (a map, no shuffle), THEN one dedup
+        # shuffle over the verified (smaller) pair set
+        ref = ray.put(sig_ds.select_columns(["id", "sig"]).to_pandas())
 
+        def verify_b(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return batch[["src", "dst"]]
+            lut = _sig_lut(ref)
+            a = np.stack([np.frombuffer(lut[int(s)], dtype=np.uint64) for s in batch["src"]])
+            b = np.stack([np.frombuffer(lut[int(d)], dtype=np.uint64) for d in batch["dst"]])
+            est = (a == b).mean(axis=1)
+            return batch.loc[est >= verify_threshold, ["src", "dst"]]
+
+        verified = pairs.map_batches(verify_b, batch_format="pandas")
+        return hash_aggregate(verified, ["src", "dst"], dedup_pairs)
+
+    pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs)
     withsigs = _attach_pair_payload(pairs, sig_ds, "sig")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -327,15 +370,19 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
 
 def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                      threshold: float = 0.95, num_planes: int = 12, seed: int = 11,
-                     lsh: bool = True):
+                     num_tables: int = 1, lsh: bool = True):
     """Near-duplicate vector pairs by cosine similarity.
 
     DEFAULT = random-hyperplane LSH bucketing (bucket shuffle, pairwise
     within bucket) — the 100 TB path; nothing corpus-shaped touches the
-    driver; recall depends on num_planes vs threshold. ``lsh=False`` opts
-    into exact O(N^2) brute force, which materializes the full embedding
-    matrix as a broadcast — correct, but for small inputs only (kept as
-    the recall oracle the tests verify the LSH path against).
+    driver. Single-table recall for a pair at angle theta is
+    (1 - theta/pi)^num_planes; ``num_tables`` > 1 runs the standard
+    OR-construction (each vector hashes into one bucket PER table, a pair
+    is a candidate if ANY table collides): recall = 1-(1-p^k)^L at k
+    planes x L tables, at L x shuffle volume. ``lsh=False`` opts into
+    exact O(N^2) brute force, which materializes the full embedding matrix
+    as a broadcast — correct, but for small inputs only (kept as the
+    recall oracle the tests verify the LSH path against).
     """
     import ray
 
@@ -373,20 +420,31 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
     # LSH path: only the embedding DIMENSION is read on the driver
     dim = len(emb_ds.take(1)[0][vec_col])
     rng = np.random.RandomState(seed)
-    planes_ref = ray.put(rng.randn(num_planes, dim))
+    planes_ref = ray.put(rng.randn(num_tables, num_planes, dim))
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         planes = ray.get(planes_ref)
         v = np.array(list(batch[vec_col]), dtype=np.float64)
-        bits = (v @ planes.T) > 0
-        bucket = bits @ (1 << np.arange(planes.shape[0], dtype=np.int64))
-        return pd.DataFrame(
-            {
-                "bucket": pd.array(bucket, dtype="int64"),
-                "id": batch[id_col].astype("int64"),
-                "vec": [list(map(float, x)) for x in v],
-            }
-        )
+        ids = batch[id_col].astype("int64").to_numpy()
+        vecs = [list(map(float, x)) for x in v]
+        frames = []
+        for t in range(planes.shape[0]):
+            bits = (v @ planes[t].T) > 0
+            bucket = bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        # table id folded into the bucket key so tables
+                        # never mix inside one bucket group
+                        "bucket": pd.array(
+                            bucket * planes.shape[0] + t, dtype="int64"
+                        ),
+                        "id": ids,
+                        "vec": vecs,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     rows = emb_ds.map_batches(bucketize, batch_format="pandas")
 

@@ -229,68 +229,6 @@ def add_windows_with_carry(ds, window_turns: int = WINDOW_TURNS):
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def extract_triples_grouped(ds, window_turns: int = WINDOW_TURNS):
-    """groupby(conv_id, win).map_groups(ordered extraction) -> RAW_TRIPLES.
-
-    The per-group function sorts by turn_idx (the O7 ordering contract is
-    per-conversation only) and applies the shared rule core with pronoun
-    lookback across the carry rows — matching oracle.extract_raw_triples
-    exactly on any window boundary.
-    """
-    from ..schemas import RAW_TRIPLES
-
-    def per_group(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
-        group = group.take(order)
-        conv = group.column("conv_id").to_pylist()
-        turn = group.column("turn_idx").to_pylist()
-        text = group.column("text").to_pylist()
-        tool = group.column("tool").to_pylist()
-        carry = group.column("carry").to_pylist()
-        ments = group.column("mentions").to_pylist()
-        cols = {n: [] for n in RAW_TRIPLES.names}
-        recent: list[tuple[int, str]] = []
-        for i in range(len(turn)):
-            mentions = [rules.Mention(m["start"], m["end"], m["surface"], m["etype"]) for m in ments[i]]
-            prev_person = None
-            for ti, surf in reversed(recent):
-                if turn[i] - ti <= rules.LOOKBACK_TURNS:
-                    prev_person = surf
-                    break
-            if not carry[i]:
-                for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
-                    text[i], tool[i], mentions, prev_person
-                ):
-                    cols["subj_surface"].append(s_surf)
-                    cols["subj_etype"].append(s_et)
-                    cols["pred"].append(pred)
-                    cols["obj_surface"].append(o_surf)
-                    cols["obj_etype"].append(o_et)
-                    cols["conv_id"].append(conv[i])
-                    cols["turn_idx"].append(turn[i])
-            lp = rules.last_person(mentions)
-            if lp is not None:
-                recent.append((turn[i], lp))
-        return pa.Table.from_pydict(cols, schema=RAW_TRIPLES)
-
-    return ds.groupby(["conv_id", "win"]).map_groups(per_group, batch_format="pyarrow")
-
-
-def extract_raw_triples(ds, *, concurrency=None, batch_size: int = 1024,
-                        window_turns: int = WINDOW_TURNS,
-                        max_tokens: int = rules.MAX_TOKENS_DEFAULT,
-                        scorer: str = "rules"):
-    """Full extraction path: detect -> classify -> window -> grouped triples.
-
-    SHUFFLE 1 of the stage graph (groupby conv_id+win); everything before it
-    is embarrassingly parallel map_batches.
-    """
-    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size,
-                             max_tokens=max_tokens, scorer=scorer)
-    ds = add_windows_with_carry(ds, window_turns)
-    return extract_triples_grouped(ds, window_turns)
-
-
 # Fused single-pass output: mention rows and raw-triple rows share one
 # superset schema tagged by ``kind`` so the whole extraction is ONE lazy
 # pipeline ending in ONE shuffle — no mid-pipeline materialization of the
@@ -330,17 +268,75 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
     ~0.5 ms x 170k groups at bench scale dominated the whole job and grew
     linearly with corpus size.
     """
-    ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size,
-                             max_tokens=max_tokens, scorer=scorer)
+    if scorer == "rules":
+        # ONE fused pass: detect + classify + predicate precompute. The
+        # text column is materialized to Python exactly once (three
+        # separate map stages each re-copied it — measured as inflated
+        # per-core memory traffic at high parallelism), and the turn TEXT
+        # is dropped before the shuffle — only mentions + two small
+        # predicate columns move.
+        def fused(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            mask = pc.match_substring_regex(batch.column("text"), "[A-Z]").to_numpy(
+                zero_copy_only=False
+            )
+            ments_col, pair_preds, pron_preds = [], [], []
+            for i, text in enumerate(texts):
+                ms = rules.detect_typed_mentions(text, max_tokens) if mask[i] else []
+                ments_col.append(
+                    [
+                        {"start": m.start, "end": m.end, "surface": m.surface,
+                         "etype": m.etype, "score": m.score}
+                        for m in ms
+                    ]
+                )
+                pp, pron = rules.precompute_turn_preds(text, ms)
+                pair_preds.append(pp)
+                pron_preds.append(pron)
+            out = batch.drop_columns(["text"])
+            return out.append_column(
+                "mentions", pa.array(ments_col, type=pa.list_(MENTION_STRUCT))
+            ).append_column(
+                "pair_preds", pa.array(pair_preds, type=pa.list_(pa.string()))
+            ).append_column("pron_pred", pa.array(pron_preds, type=pa.string()))
+
+        ds = ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=batch_size)
+    else:
+        ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size,
+                                 max_tokens=max_tokens, scorer=scorer)
+
+        def precompute(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ments = batch.column("mentions").to_pylist()
+            pair_preds, pron_preds = [], []
+            for text, row in zip(texts, ments):
+                mentions = [
+                    rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"])
+                    for m in row
+                ]
+                pp, pron = rules.precompute_turn_preds(text, mentions)
+                pair_preds.append(pp)
+                pron_preds.append(pron)
+            out = batch.drop_columns(["text"])
+            return out.append_column(
+                "pair_preds", pa.array(pair_preds, type=pa.list_(pa.string()))
+            ).append_column("pron_pred", pa.array(pron_preds, type=pa.string()))
+
+        ds = ds.map_batches(precompute, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=batch_size)
     ds = add_windows_with_carry(ds, window_turns)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        conv = batch.column("conv_id").to_pandas()
-        win = batch.column("win").to_pandas()
-        key = conv.str.cat(win.astype(str), sep="#")
-        bucket = (pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets).astype("int64")
+        keyframe = pd.DataFrame(
+            {"c": batch.column("conv_id").to_pandas(), "w": batch.column("win").to_pandas()}
+        )
+        # vectorized row hash (C-speed, process-stable) — no string concat
+        bucket = (
+            pd.util.hash_pandas_object(keyframe, index=False).to_numpy() % num_buckets
+        ).astype("int64")
         return batch.append_column("bucket", pa.array(bucket))
 
     ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True,
@@ -356,10 +352,11 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
         conv = group.column("conv_id").to_pylist()
         win = group.column("win").to_pylist()
         turn = group.column("turn_idx").to_pylist()
-        text = group.column("text").to_pylist()
         tool = group.column("tool").to_pylist()
         carry = group.column("carry").to_pylist()
         ments = group.column("mentions").to_pylist()
+        pair_preds = group.column("pair_preds").to_pylist()
+        pron_preds = group.column("pron_pred").to_pylist()
         n = len(turn)
         cols = {name: [] for name in COMBINED.names}
 
@@ -383,10 +380,13 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                 j += 1
             recent: list[tuple[int, str]] = []
             for r in range(i, j):
-                mentions = [
-                    rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"])
-                    for m in ments[r]
-                ]
+                mentions = sorted(
+                    (
+                        rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"])
+                        for m in ments[r]
+                    ),
+                    key=lambda m: m.start,
+                )
                 if not carry[r]:
                     for m in mentions:
                         emit(0, conv[r], turn[r], start=m.start, end=m.end,
@@ -398,8 +398,8 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                         prev_person = surf
                         break
                 if not carry[r]:
-                    for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
-                        text[r], tool[r], mentions, prev_person
+                    for s_surf, s_et, pred, o_surf, o_et in rules.triples_from_precomputed(
+                        mentions, pair_preds[r], pron_preds[r], tool[r], prev_person
                     ):
                         emit(1, conv[r], turn[r], subj_surface=s_surf, subj_etype=s_et,
                              pred=pred, obj_surface=o_surf, obj_etype=o_et)

@@ -32,7 +32,49 @@ def _label_sum(ds) -> int:
     return int(row["s"]) if row and row.get("s") is not None else 0
 
 
-def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64):
+def _driver_cc(edges: pd.DataFrame):
+    """In-memory union-find with min-root — identical output contract to
+    the iterative dataflow (label = min node id of the component)."""
+    import ray.data as rd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(edges["src"], edges["dst"]):
+        s, d = int(s), int(d)
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd_ = find(s), find(d)
+        if rs != rd_:
+            lo, hi = (rs, rd_) if rs < rd_ else (rd_, rs)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node": pd.array(nodes, dtype="int64"),
+                "label": pd.array([find(n) for n in nodes], dtype="int64"),
+            }
+        )
+    )
+
+
+# Below this many edges the graph is control-table-sized (like a broadcast
+# join's small side): a driver union-find beats ~10 tiny distributed
+# shuffle rounds of pure scheduling latency. Above it, the bucketed
+# label-propagation rounds run — that is the 100 TB path.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES):
     """edges (src:int64, dst:int64) -> Dataset (node:int64, label:int64)
     where label = min node id of the component."""
     from .relational import hash_aggregate, partitioned_join
@@ -45,6 +87,10 @@ def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64)
         return pd.concat([fwd, rev], ignore_index=True)
 
     sym = edges_ds.map_batches(to_sym, batch_format="pandas").materialize()
+
+    if sym.count() <= 2 * small_graph_edges:  # sym holds both directions
+        small = sym.to_pandas()  # already materialized; no recompute
+        return _driver_cc(small.rename(columns={"node": "src", "nbr": "dst"}))
 
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", as_index=False)["label"].min()

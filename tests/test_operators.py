@@ -85,6 +85,24 @@ def test_connected_components_chain(rd):
     assert len(out) == n
 
 
+def test_connected_components_distributed_path(rd):
+    """Force the bucketed label-propagation path (small_graph_edges=0) and
+    assert it matches the driver union-find fast path exactly."""
+    from split_ner_ray.stages.graph import connected_components
+
+    edges = pd.DataFrame(
+        {"src": [0, 1, 2, 7, 8, 20, 3], "dst": [1, 2, 3, 8, 9, 21, 0]}
+    )
+    fast = connected_components(rd.from_pandas(edges)).to_pandas()
+    dist = connected_components(
+        rd.from_pandas(edges), small_graph_edges=0, num_buckets=4
+    ).to_pandas()
+    f = dict(zip(fast["node"], fast["label"]))
+    d = dict(zip(dist["node"], dist["label"]))
+    assert f == d
+    assert d[3] == 0 and d[9] == 7 and d[21] == 20
+
+
 def test_exact_dedup(rd):
     from split_ner_ray.stages.dedup import exact_dedup
 
@@ -235,3 +253,23 @@ def test_tsv_roundtrip(rd, tmp_path, smoke_transcripts):
             etypes.add(et)
     assert etypes <= {"person", "organization", "location", "product", "id", "tool"}
     assert len(etypes) >= 3
+
+
+def test_minhash_verify_join_path_matches_broadcast(rd):
+    """Force the partitioned-join verification path (broadcast_sigs_limit=0)
+    and assert it produces exactly the broadcast path's pairs."""
+    from split_ner_ray.stages.dedup import (
+        candidate_pairs_from_bands,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+
+    docs = rd.from_pandas(_dup_docs())
+    sigs = minhash_signatures(docs).materialize()
+    bands = minhash_band_rows(sigs)
+    a = candidate_pairs_from_bands(bands, sigs, verify_threshold=0.3).to_pandas()
+    b = candidate_pairs_from_bands(
+        minhash_band_rows(sigs), sigs, verify_threshold=0.3,
+        broadcast_sigs_limit=0,
+    ).to_pandas()
+    assert set(zip(a["src"], a["dst"])) == set(zip(b["src"], b["dst"])) == {(1, 2)}

@@ -347,3 +347,25 @@ def test_build_canon_map_matches_canonicalize_linkable(ray_session):
     idrow = dist[dist["etype"] == "id"].iloc[0]
     assert idrow["canonical_norm"] == idrow["norm"]
     assert idrow["entity_id"] == entity_id("id", idrow["norm"])
+
+
+def test_precomputed_triples_equal_text_path():
+    """rules.triples_from_precomputed == rules.extract_turn_triples for any
+    turn (the precompute split keeps turn text out of the shuffle)."""
+    from split_ner_ray import rules
+
+    texts = [
+        ("Alice Johnson works at Acme Corp .", "", None),
+        ("He moved to Springfield .", "search", "Bob"),
+        ("Acme Corp shipped HyperDrive X1 and Bob met Carol .", "sql_query", None),
+        ("no entities here", "", "Alice"),
+        ("CVE-2015-8431 reported", "browser", None),
+    ]
+    for text, tool, prev in texts:
+        ms = rules.detect_typed_mentions(text)
+        want = rules.extract_turn_triples(text, tool, ms, prev)
+        pair_preds, pron_pred = rules.precompute_turn_preds(text, ms)
+        got = rules.triples_from_precomputed(
+            sorted(ms, key=lambda m: m.start), pair_preds, pron_pred, tool, prev
+        )
+        assert got == want, (text, got, want)
