@@ -3,13 +3,15 @@
 Stage graph (SURVEY.md §7):
 
     read_parquet(transcripts)
-      -> map_batches(SpanDetector actor pool)        # S1+S4
-      -> map_batches(SpanClassifier actor pool)      # S2+S5
+      -> map_batches(detect+classify+precompute)     # S1-S5 fused, one text pass
       -> window + carry                              # skew salt (S8 analog)
-      -> groupby(conv_id, win).map_groups(triples)   # SHUFFLE 1 (S9, J1 fused)
-      -> linking: keys -> groupby(block) -> canon    # SHUFFLE 2 (S6/S7/D6)
-      -> id assignment (broadcast canon, ray.put)    # J5 small-side broadcast
-      -> groupby(subj,pred,obj) dedup                # SHUFFLE 3 (D5)
+      -> bucketed group extraction                   # SHUFFLE 1 (S9, J1 fused;
+                                                     #  text never shuffles)
+      -> occ hash-aggregate (distributed)            # SHUFFLE 2
+      -> driver clustering of LINKABLE keys only     # vocabulary-bounded (S7/D6)
+      -> CONCURRENTLY:
+           id assignment + dedup                     # SHUFFLE 3 (D5; J5 broadcast)
+         ∥ distributed node build                    # SHUFFLE 4
       -> triples/nodes/edges parquet                 # R3
 
 The caller owns the Ray session (driver contract): nothing here calls

@@ -1000,14 +1000,21 @@ GROUP BY pattern ORDER BY n DESC, pattern LIMIT 30
 """
 
 
-def doc_intrinsic_patterns(sf_dir: str):
-    """Per-pattern tag distributions over documents (mining op, reference
-    pattern_analysis.intrinsic_patterns semantics; mention detection is not
-    SQL-expressible -> rows-only driver check + pytest fixture oracle)."""
+def kg_intrinsic_patterns(sf_dir: str):
+    """Per-pattern tag distributions over the synthetic transcripts (mining
+    op, reference pattern_analysis.intrinsic_patterns semantics — the
+    documents table has no gazetteer entities, so the meaningful corpus is
+    the transcripts; mention detection is not SQL-expressible -> rows-only
+    driver check + pytest fixture oracle)."""
     from .stages.mining import intrinsic_pattern_tags
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _transcripts_ds(sf_dir)
     df = intrinsic_pattern_tags(ds, min_support=10).to_pandas()
+    if "n" not in df.columns:  # fully-filtered result loses its schema
+        df = pd.DataFrame(
+            {"pattern": [], "tag": [], "n": pd.array([], dtype="int64"),
+             "share_pct": []}
+        )
     df["n"] = df["n"].astype("int64")
     return df.sort_values(["pattern", "tag"]).reset_index(drop=True)
 
@@ -1064,7 +1071,7 @@ def dedup_cosine_lsh_docs(sf_dir: str):
 QUERIES.update(
     {
         "doc_mined_op_contexts": (doc_mined_op_contexts, MINED_OP_SQL),
-        "doc_intrinsic_patterns": (doc_intrinsic_patterns, None),
+        "kg_intrinsic_patterns": (kg_intrinsic_patterns, None),
         "kg_pred_patterns": (kg_pred_patterns, None),
         "dedup_cosine_docs": (dedup_cosine_docs, COSINE_PAIRS_SQL),
         "dedup_cosine_lsh_docs": (dedup_cosine_lsh_docs, None),

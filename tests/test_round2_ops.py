@@ -369,3 +369,33 @@ def test_precomputed_triples_equal_text_path():
             sorted(ms, key=lambda m: m.start), pair_preds, pron_pred, tool, prev
         )
         assert got == want, (text, got, want)
+
+
+def test_predicate_mining_matches_python_oracle(ray_session, smoke_transcripts):
+    """Distributed predicate-gap miner == plain-python loop over the same
+    turns (corpus-level cross-check, not just the seeded fixture)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from split_ner_ray import rules
+    from split_ner_ray.stages.mining import mine_predicate_patterns
+
+    tbl = smoke_transcripts.slice(0, 400)
+    got = mine_predicate_patterns(
+        rd.from_arrow(tbl), min_support=1
+    ).to_pandas()
+    got_map = {
+        (g, s, o): int(n)
+        for g, s, o, n in zip(got["gap"], got["subj_etype"], got["obj_etype"], got["n"])
+    }
+
+    want: Counter = Counter()
+    for text in tbl.column("text").to_pylist():
+        ms = sorted(rules.detect_typed_mentions(text), key=lambda m: m.start)
+        for a, b in zip(ms, ms[1:]):
+            gap = " ".join(text[a.end: b.start].split()).lower()
+            if gap and 1 <= len(gap.split()) <= 4:
+                want[(gap, a.etype, b.etype)] += 1
+    assert got_map == dict(want)
+    assert len(got_map) > 0
