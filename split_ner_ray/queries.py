@@ -111,8 +111,12 @@ def top_orders_revenue(sf_dir: str):
     from .stages.relational import broadcast_join, topk
 
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    cust_b = cust.to_pandas()
-    cust_b = cust_b[cust_b["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    # filter + project BEFORE the driver collect: only BUILDING keys land
+    # on the driver (the broadcast small side), never the customer table
+    cust_b = cust.map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
+    ).to_pandas()
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
     o_b = broadcast_join(orders.map_batches(
         lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
@@ -1077,3 +1081,29 @@ QUERIES.update(
         "dedup_cosine_lsh_docs": (dedup_cosine_lsh_docs, None),
     }
 )
+
+
+def ann_ivf_index_cosine(sf_dir: str):
+    """IVF DISK-index ANN (the 100 TB path): corpus written partitioned by
+    inverted list, search prunes at the read — only probed bucket
+    directories are opened. Rows-only driver check; recall vs brute force
+    and the partitioned layout are pytest-asserted."""
+    import shutil
+    import tempfile
+
+    from .stages.ann import ivf_build_index, ivf_search_index, load_queries
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        ivf_build_index(emb, idx, num_centroids=8)
+        qids, qmat = load_queries(emb, ANN_QUERY_IDS)
+        df = ivf_search_index(idx, qids, qmat, k=5, nprobe=4).to_pandas()
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+QUERIES.update({"ann_ivf_index_cosine": (ann_ivf_index_cosine, None)})

@@ -4,13 +4,14 @@
   broadcast query matrix (ray.put once, resolved per worker), tie-safe
   local top-k partials, final per-query reduce. This is the baseline the
   driver asks for; it streams the corpus once and never materializes it.
-- ivf_topk: IVF scale path — coarse centroids trained by spherical k-means
-  on a deterministic hash-based sample, vectors bucketed by nearest
-  centroid, ONE bucket shuffle co-locates each inverted list, and each
-  bucket task computes similarities only for the queries probing it. At
-  100 TB the bucketed table would be written partitioned by bucket so
-  probes prune at the read; in-sandbox the pruning is per-task compute +
-  shuffle locality. Recall vs brute force is asserted in tests.
+- ivf_topk: IVF in-memory path — coarse centroids trained by spherical
+  k-means on a deterministic hash-based sample, vectors bucketed by
+  nearest centroid, ONE bucket shuffle co-locates each inverted list, and
+  each bucket task computes similarities only for the queries probing it.
+- ivf_build_index / ivf_search_index: the 100 TB path — the bucketed
+  corpus is WRITTEN partitioned by bucket (one parquet directory per
+  inverted list) and searches prune at the READ: unprobed lists never
+  leave storage. Recall vs brute force is asserted in tests.
 
 All stages are elastic task pools (broadcast state resolved from the
 worker-local object store per call — shipped once per node, not per batch);
@@ -192,3 +193,92 @@ def ivf_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
 
     partials = hash_aggregate(bucketed, ["bucket"], search_buckets)
     return _per_query_reduce(partials, k, exclude_self)
+
+
+# ---------------------------------------------------------------------------
+# IVF disk index: partitioned parquet per inverted list, read-level pruning
+# ---------------------------------------------------------------------------
+
+def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Build an on-disk IVF index: train the coarse quantizer, bucket every
+    vector by nearest centroid, and write the corpus PARTITIONED BY bucket
+    (one parquet directory per inverted list, plus centroids.npy). Searches
+    then prune at the READ: only the nprobe probed bucket directories are
+    ever opened — the storage-level pruning a 100 TB ANN corpus needs
+    (ivf_topk prunes compute + shuffle only)."""
+    import os
+
+    import ray
+
+    cents = train_centroids(emb_ds, num_centroids, id_col=id_col, vec_col=vec_col)
+    cref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col], vec_col))
+        b = np.argmax(m @ c.T, axis=1)
+        return pd.DataFrame(
+            {
+                "bucket": pd.array(b, dtype="int64"),
+                id_col: batch[id_col].astype("int64"),
+                vec_col: [list(map(float, v)) for v in batch[vec_col]],
+            }
+        )
+
+    emb_ds.map_batches(assign, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_search_index(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
+                     k: int = 5, *, nprobe: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding", exclude_self: bool = True):
+    """Search the disk index: per query pick the nprobe nearest centroids,
+    then read ONLY those bucket directories (partition pruning — unprobed
+    inverted lists never leave storage) and score each probed list against
+    just the queries probing it."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qsims = qmat @ cents.T
+    probes_by_bucket: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for b in np.argsort(-qsims[qi])[:nprobe]:
+            probes_by_bucket.setdefault(int(b), []).append(qi)
+
+    pref = ray.put((qids, qmat))
+    kk = k + (1 if exclude_self else 0)
+    partials = []
+    for bucket, probing in sorted(probes_by_bucket.items()):
+        bdir = os.path.join(index_dir, f"bucket={bucket}")
+        if not os.path.isdir(bdir):
+            continue  # empty inverted list
+
+        def score(batch: pd.DataFrame, probing=tuple(probing)) -> pd.DataFrame:
+            all_qids, qm = ray.get(pref)
+            vids = batch[id_col].to_numpy(dtype=np.int64)
+            m = _normalize(_as_matrix(batch[vec_col], vec_col))
+            sims = qm[list(probing)] @ m.T
+            out = {"qid": [], "vid": [], "sim": []}
+            for row_i, qi in enumerate(probing):
+                for j in _topk_tie_safe(sims[row_i], vids, kk):
+                    out["qid"].append(int(all_qids[qi]))
+                    out["vid"].append(int(vids[j]))
+                    out["sim"].append(float(sims[row_i, j]))
+            return pd.DataFrame(out)
+
+        partials.append(
+            rd.read_parquet(bdir).map_batches(score, batch_format="pandas")
+        )
+    if not partials:
+        return rd.from_pandas(pd.DataFrame({"qid": [], "vid": [], "rank": []}))
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.union(p)
+    return _per_query_reduce(merged, k, exclude_self)

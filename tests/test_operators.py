@@ -273,3 +273,43 @@ def test_minhash_verify_join_path_matches_broadcast(rd):
         broadcast_sigs_limit=0,
     ).to_pandas()
     assert set(zip(a["src"], a["dst"])) == set(zip(b["src"], b["dst"])) == {(1, 2)}
+
+
+def test_ivf_disk_index_partition_pruning(emb, tmp_path):
+    """ivf_build_index writes one parquet dir per inverted list;
+    ivf_search_index reads only probed dirs and matches the in-memory IVF
+    (and brute recall) on the same queries."""
+    import os
+
+    from split_ner_ray.stages.ann import (
+        brute_topk,
+        ivf_build_index,
+        ivf_search_index,
+        load_queries,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    cents = ivf_build_index(emb, idx, num_centroids=8)
+    assert cents.shape[0] == 8
+    bucket_dirs = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(bucket_dirs) >= 2  # real partitioned layout on disk
+
+    qids, qmat = load_queries(emb, [0, 1, 2, 3])
+    got = (
+        ivf_search_index(idx, qids, qmat, k=5, nprobe=4)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    brute = (
+        brute_topk(emb, qids, qmat, k=5)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    # recall@5 vs exact with nprobe=4 of 8 lists
+    recall = len(
+        set(zip(got["qid"], got["vid"])) & set(zip(brute["qid"], brute["vid"]))
+    ) / len(brute)
+    assert recall >= 0.6
+    assert (got.groupby("qid")["rank"].max() == 5).all()
