@@ -87,6 +87,11 @@ class HFTransformerBackend(ScorerBackend):
     model_span.py:9-71, dataset_span.py:82-136). Weights load once per
     actor in __init__; schedule with num_gpus=1 per actor.
 
+    Sub-token -> token projection for this backend uses the alignment
+    structure in functions/wordpiece.py (align_subtokens / subtoken_grid)
+    with the mapping1 (first_wins_assign) or mapping2
+    (consistency_vote_assign) decode per PipelineConfig.decode_mode.
+
     Import-gated: this sandbox has no torch/transformers, so construction
     fails loudly instead of silently running a fake."""
 

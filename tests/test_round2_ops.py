@@ -399,3 +399,72 @@ def test_predicate_mining_matches_python_oracle(ray_session, smoke_transcripts):
                 want[(gap, a.etype, b.etype)] += 1
     assert got_map == dict(want)
     assert len(got_map) > 0
+
+
+# ---------------------------------------------------------------------------
+# WordPiece subtoken alignment (M4) feeding mapping1/mapping2 decode
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_greedy_longest_match():
+    from split_ner_ray.functions.wordpiece import UNK, wordpiece_tokenize
+
+    vocab = {"un", "##aff", "##able", "##ffable", "a", "##b", "hello"}
+    assert wordpiece_tokenize("unaffable", vocab) == ["un", "##aff", "##able"]
+    assert wordpiece_tokenize("hello", vocab) == ["hello"]
+    assert wordpiece_tokenize("ab", vocab) == ["a", "##b"]
+    assert wordpiece_tokenize("zzz", vocab) == [UNK]  # unmatchable -> UNK
+
+
+def test_align_subtokens_structure():
+    from split_ner_ray.functions.wordpiece import align_subtokens, default_wordpiece_vocab
+
+    vocab = default_wordpiece_vocab(["Johnson"])
+    out = align_subtokens(["Alice", "Johnson"], vocab)
+    assert len(out["sub_text"]) == len(out["word_offset"]) == len(out["is_head"])
+    # every word has exactly one head; offsets point at source words in order
+    heads = [o for o, h in zip(out["word_offset"], out["is_head"]) if h]
+    assert heads == [0, 1]
+    assert out["word_offset"] == sorted(out["word_offset"])
+    assert all(t == 1 for t in out["token_type"])
+    # 'Johnson' in vocab -> single sub-token; 'Alice' splits to chars
+    assert out["sub_text"].count("Johnson") == 1
+    assert sum(1 for o in out["word_offset"] if o == 0) == len("Alice")
+
+
+def test_wordpiece_grid_feeds_mapping2():
+    """End-to-end M4 -> S4: subtoken predictions regrouped per word drive
+    consistency_vote_assign; an inconsistent continuation resets the word."""
+    from split_ner_ray.functions.decode import consistency_vote_assign
+    from split_ner_ray.functions.wordpiece import (
+        align_subtokens,
+        default_wordpiece_vocab,
+        subtoken_grid,
+    )
+
+    words = ["Alice", "works", "at", "Acme"]
+    vocab = default_wordpiece_vocab(["Alice", "works", "at"])  # Acme splits
+    al = align_subtokens(words, vocab)
+    n_subs = len(al["sub_text"])
+    # model says: B on Alice (1 sub), O elsewhere, B+I+I+E on Acme's subs
+    preds = []
+    for off, head in zip(al["word_offset"], al["is_head"]):
+        if words[off] == "Alice":
+            preds.append("B")
+        elif words[off] == "Acme":
+            preds.append("B" if head else "I")
+        else:
+            preds.append("O")
+    assert len(preds) == n_subs
+    grid = subtoken_grid(len(words), al["word_offset"], preds)
+    tags = consistency_vote_assign(len(words), [("person", grid)])
+    assert tags == ["B-person", "O", "O", "B-person"]
+
+    # now a disagreeing continuation sub-token on Acme -> reset to O
+    preds2 = [p for p in preds]
+    acme_tail = [i for i, (o, h) in enumerate(zip(al["word_offset"], al["is_head"]))
+                 if words[o] == "Acme" and not h]
+    assert acme_tail  # Acme really is multi-sub-token
+    preds2[acme_tail[-1]] = "O"
+    grid2 = subtoken_grid(len(words), al["word_offset"], preds2)
+    tags2 = consistency_vote_assign(len(words), [("person", grid2)])
+    assert tags2 == ["B-person", "O", "O", "O"]
