@@ -37,6 +37,20 @@ class PipelineConfig:
     # linking
     link_sim_threshold: float = 0.8
 
+    def __post_init__(self):
+        from .stages.detect import BACKENDS
+
+        if self.detector_backend not in BACKENDS:
+            raise ValueError(
+                f"detector_backend={self.detector_backend!r}; known: {sorted(BACKENDS)}"
+            )
+        if self.decode_mode not in ("first_wins", "consistency"):
+            raise ValueError(
+                f"decode_mode={self.decode_mode!r}; known: first_wins, consistency"
+            )
+        if not 0.0 < self.link_sim_threshold <= 1.0:
+            raise ValueError(f"link_sim_threshold out of (0, 1]: {self.link_sim_threshold}")
+
     @classmethod
     def from_json(cls, src: str) -> "PipelineConfig":
         if os.path.exists(src):

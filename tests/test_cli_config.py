@@ -72,3 +72,19 @@ def test_mention_embedder(ray_session):
     sim_close = float(vecs["Acme Corp"] @ vecs["Acme Corporation"])
     sim_far = float(vecs["Acme Corp"] @ vecs["Globex"])
     assert sim_close > 0.5 > sim_far
+
+
+def test_config_value_validation():
+    import pytest
+
+    from split_ner_ray.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="detector_backend"):
+        PipelineConfig(detector_backend="nope")
+    with pytest.raises(ValueError, match="decode_mode"):
+        PipelineConfig(decode_mode="majority")
+    with pytest.raises(ValueError, match="link_sim_threshold"):
+        PipelineConfig(link_sim_threshold=1.5)
+    # all registry backends accepted
+    for b in ("rules", "oracle", "hf"):
+        PipelineConfig(detector_backend=b)
