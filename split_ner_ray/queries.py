@@ -1107,3 +1107,39 @@ def ann_ivf_index_cosine(sf_dir: str):
 
 
 QUERIES.update({"ann_ivf_index_cosine": (ann_ivf_index_cosine, None)})
+
+
+def supplier_stats_by_nation(sf_dir: str):
+    """Supplier dimension rollup: broadcast-join supplier -> nation, count
+    + account-balance cents per nation (completes source-table coverage)."""
+    from .stages.relational import broadcast_join
+
+    nation = pd.read_parquet(_t(sf_dir, "nation")).rename(
+        columns={"n_nationkey": "s_nationkey"}
+    )[["s_nationkey", "n_name"]]
+    nation["s_nationkey"] = nation["s_nationkey"].astype("int32")
+    supp = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    agg = broadcast_join(supp, nation, ["s_nationkey"]).groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="bal")
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "n_name": df["n_name"],
+            "n_suppliers": df["n_suppliers"].astype("int64"),
+            "acctbal_c": [_cents(v) for v in df["bal"]],
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SUPPLIER_STATS_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(ROUND(100*SUM(s_acctbal)) AS BIGINT) AS acctbal_c
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+QUERIES.update({"supplier_stats_by_nation": (supplier_stats_by_nation, SUPPLIER_STATS_SQL)})

@@ -191,8 +191,19 @@ def _attach_pair_payload(pairs, payload_ds, payload_col: str, *, num_buckets: in
 BROADCAST_SIGS_LIMIT = 200_000
 
 
+# Buckets larger than this emit STAR edges (bucket-minimum -> member)
+# instead of all pairs: a duplicate-heavy corpus puts thousands of
+# identical documents into one band bucket, and O(k^2) pair emission
+# explodes (measured: worker OOM deaths on 544k template-generated turns).
+# Star edges preserve the connected components for the common case
+# (bucket-mates that verify against the minimum verify transitively);
+# all-pairs is kept below the cap where borderline near-dups matter.
+BUCKET_PAIR_CAP = 64
+
+
 def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0.7,
-                               broadcast_sigs_limit: int = BROADCAST_SIGS_LIMIT):
+                               broadcast_sigs_limit: int = BROADCAST_SIGS_LIMIT,
+                               bucket_pair_cap: int = BUCKET_PAIR_CAP):
     """groupby(band, band_hash) -> candidate pairs (src < dst), verified
     against the signatures (broadcast under the limit, partitioned joins
     above), deduped.
@@ -209,10 +220,16 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
         src, dst = [], []
         for _key, sub in g.groupby(["band", "band_hash"], sort=False):
             ids = sorted(set(sub["id"].tolist()))
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    src.append(ids[x])
-                    dst.append(ids[y])
+            if len(ids) <= bucket_pair_cap:
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        src.append(ids[x])
+                        dst.append(ids[y])
+            else:  # star to the bucket minimum: O(k), CC-equivalent
+                lo = ids[0]
+                for other in ids[1:]:
+                    src.append(lo)
+                    dst.append(other)
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
     pairs = hash_aggregate(band_rows, ["band", "band_hash"], buckets_fn)
@@ -308,13 +325,22 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         items = sorted(set(zip(group["id"].tolist(), group["sim"].tolist())))
         src, dst = [], []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                ia, sa = items[x]
-                ib, sb = items[y]
+        if len(items) > BUCKET_PAIR_CAP:
+            # duplicate-heavy bucket: star to the minimum (same rationale
+            # as candidate_pairs_from_bands — O(k) instead of O(k^2))
+            ia, sa = items[0]
+            for ib, sb in items[1:]:
                 if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming:
                     src.append(ia)
                     dst.append(ib)
+        else:
+            for x in range(len(items)):
+                for y in range(x + 1, len(items)):
+                    ia, sa = items[x]
+                    ib, sb = items[y]
+                    if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming:
+                        src.append(ia)
+                        dst.append(ib)
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
     from .relational import hash_aggregate
@@ -449,19 +475,29 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
     rows = emb_ds.map_batches(bucketize, batch_format="pandas")
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids_l = group["id"].tolist()
-        vecs = np.array(group["vec"].tolist(), dtype=np.float64)
+        order = np.argsort(group["id"].to_numpy())
+        ids_l = group["id"].to_numpy()[order]
+        vecs = np.array(group["vec"].tolist(), dtype=np.float64)[order]
         n = np.linalg.norm(vecs, axis=1)
         n[n == 0] = 1.0
         vn = vecs / n[:, None]
-        sims = vn @ vn.T
         src, dst = [], []
-        for x in range(len(ids_l)):
-            for y in range(x + 1, len(ids_l)):
-                if sims[x, y] >= threshold and ids_l[x] != ids_l[y]:
-                    a, b = sorted((ids_l[x], ids_l[y]))
-                    src.append(a)
-                    dst.append(b)
+        if len(ids_l) > BUCKET_PAIR_CAP * 4:
+            # duplicate-heavy bucket: star-verify against the min id only
+            # (O(k) memory/compute instead of a k x k sims matrix)
+            sims0 = vn[1:] @ vn[0]
+            for j in np.nonzero(sims0 >= threshold)[0]:
+                if ids_l[0] != ids_l[j + 1]:
+                    src.append(int(ids_l[0]))
+                    dst.append(int(ids_l[j + 1]))
+        else:
+            sims = vn @ vn.T
+            for x in range(len(ids_l)):
+                for y in range(x + 1, len(ids_l)):
+                    if sims[x, y] >= threshold and ids_l[x] != ids_l[y]:
+                        a, b = sorted((int(ids_l[x]), int(ids_l[y])))
+                        src.append(a)
+                        dst.append(b)
         return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
 
     def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:

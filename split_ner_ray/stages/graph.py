@@ -66,11 +66,15 @@ def _driver_cc(edges: pd.DataFrame):
     )
 
 
-# Below this many edges the graph is control-table-sized (like a broadcast
-# join's small side): a driver union-find beats ~10 tiny distributed
-# shuffle rounds of pure scheduling latency. Above it, the bucketed
-# label-propagation rounds run — that is the 100 TB path.
-SMALL_GRAPH_EDGES = 200_000
+# Below this many edges the graph fits driver memory comfortably (10M
+# edges = 160 MB of int64 pairs; the union-find dict stays in low GBs on a
+# 128 GB driver) and an in-memory union-find beats label-propagation
+# rounds whose per-round join cost dominates (measured: iterative CC on a
+# 2.56M-edge / 922k-node near-dup graph = 654 s of partitioned-join
+# rounds vs seconds of driver union-find). Above it, the bucketed
+# label-propagation rounds run — the 100 TB path (billions of edges never
+# fit a driver).
+SMALL_GRAPH_EDGES = 10_000_000
 
 
 def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,

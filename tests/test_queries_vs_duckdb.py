@@ -44,6 +44,7 @@ SQL_BACKED = [
     "doc_word_types", "doc_lang_confusion", "doc_vocab_topk",
     "doc_stats_by_lang", "part_topk_per_brand", "events_type_users",
     "doc_hash_sample", "doc_mined_op_contexts", "dedup_cosine_docs",
+    "supplier_stats_by_nation",
 ]
 
 
