@@ -71,21 +71,19 @@ def broadcast_join(big_ds, small, on, *, how: str = "inner", concurrency=None,
     return big_ds.map_batches(merge, batch_format="pandas", **kwargs)
 
 
-def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
-                     how: str = "inner"):
-    """Explicit partitioned hash join: bucket both sides on hash(key) % B,
-    one shuffle co-locates buckets, pandas merge inside each group.
-
-    The two sides are unioned into one superset-schema stream (union
-    requires matching schemas), tagged with __side, and split again inside
-    each bucket group.
-    """
+def cogroup(left_ds, right_ds, on: list[str], per_bucket, *, num_buckets: int = 32):
+    """Hash-partitioned co-group: both sides bucketized on hash(key) % B,
+    ONE shuffle co-locates buckets, and ``per_bucket`` receives the
+    combined frame (``__side`` in {'L','R'}, NA-padded superset schema)
+    for each bucket — the primitive behind partitioned_join and any join
+    variant that fuses downstream work into the merge (verify-and-project,
+    aggregate-after-join) so the joined payload never materializes."""
     lcols = list(left_ds.schema().names)
     rcols = list(right_ds.schema().names)
     extra_r = [c for c in rcols if c not in lcols]
     all_cols = lcols + extra_r
 
-    def bucketize(side: str, own_cols: list[str]):
+    def bucketize(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             bucket = (_row_hash(batch, on) % num_buckets).astype("int64")
             batch = batch.copy()
@@ -99,9 +97,17 @@ def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
 
         return fn
 
-    both = left_ds.map_batches(bucketize("L", lcols), batch_format="pandas").union(
-        right_ds.map_batches(bucketize("R", rcols), batch_format="pandas")
+    both = left_ds.map_batches(bucketize("L"), batch_format="pandas").union(
+        right_ds.map_batches(bucketize("R"), batch_format="pandas")
     )
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
+                     how: str = "inner"):
+    """Explicit partitioned hash join: cogroup + pandas merge per bucket."""
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lg = group.loc[group["__side"] == "L", lcols]
@@ -109,7 +115,7 @@ def partitioned_join(left_ds, right_ds, on: list[str], *, num_buckets: int = 32,
         # restore native dtypes degraded by the NA-padded union schema
         return lg.merge(rg, on=on, how=how, suffixes=("", "_r")).infer_objects()
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return cogroup(left_ds, right_ds, on, merge_bucket, num_buckets=num_buckets)
 
 
 def hash_aggregate(ds, keys: list[str], agg_fn, *, num_buckets: int = 64):
