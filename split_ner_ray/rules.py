@@ -91,9 +91,14 @@ MAX_TOKENS_DEFAULT = 256  # max_seq_len analog (M9 truncation contract)
 # Token-scan gazetteer matcher state: leftmost-longest non-overlapping
 # matching is done by trying the longest phrase first at each token position
 # (set lookups are ~50x faster than a 1000-alternative regex scan — the
-# detector UDF dominated pipeline wall time before this).
+# detector UDF dominated pipeline wall time before this). Multi-word
+# lookups are gated on a FIRST-WORD set so the common case (token starts
+# no phrase) costs one slice + one membership test instead of
+# GAZ_MAX_PHRASE substring builds per position.
 GAZ_SURFACES = frozenset(GAZETTEER)
 GAZ_MAX_PHRASE = max(len(s.split()) for s in GAZETTEER)
+GAZ_FIRST_WORDS = frozenset(s.split(" ", 1)[0] for s in GAZETTEER if " " in s)
+GAZ_SINGLE = frozenset(s for s in GAZETTEER if " " not in s)
 
 
 @dataclass(frozen=True)
@@ -128,18 +133,22 @@ def detect_spans(text: str, max_tokens: int = MAX_TOKENS_DEFAULT) -> list[tuple[
     proposals: list[tuple[int, int, str]] = []
     i = 0
     while i < n:
+        tok = text[token_spans[i][0] : token_spans[i][1]]
         matched = 0
-        for L in range(min(GAZ_MAX_PHRASE, n - i), 0, -1):
-            cand = text[token_spans[i][0] : token_spans[i + L - 1][1]]
-            if cand in GAZ_SURFACES:
-                proposals.append((i, i + L - 1, "ENTITY"))
-                matched = L
-                break
+        if tok in GAZ_FIRST_WORDS:
+            for L in range(min(GAZ_MAX_PHRASE, n - i), 1, -1):
+                cand = text[token_spans[i][0] : token_spans[i + L - 1][1]]
+                if cand in GAZ_SURFACES:
+                    proposals.append((i, i + L - 1, "ENTITY"))
+                    matched = L
+                    break
+        if not matched and tok in GAZ_SINGLE:
+            proposals.append((i, i, "ENTITY"))
+            matched = 1
         if matched:
             i += matched
             continue
         # single-token alphanumeric ID (pattern-feature case)
-        tok = text[token_spans[i][0] : token_spans[i][1]]
         if ID_RE.fullmatch(tok):
             proposals.append((i, i, "ENTITY"))
         i += 1

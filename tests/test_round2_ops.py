@@ -468,3 +468,23 @@ def test_wordpiece_grid_feeds_mapping2():
     grid2 = subtoken_grid(len(words), al["word_offset"], preds2)
     tags2 = consistency_vote_assign(len(words), [("person", grid2)])
     assert tags2 == ["B-person", "O", "O", "O"]
+
+
+def test_entity_free_corpus_produces_empty_graph(ray_session):
+    """Degenerate input: no detectable entities -> empty (not crashed)
+    triples/nodes/edges/mentions through the whole distributed path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from split_ner_ray.pipelines.kg import build_graph_datasets
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": pa.array(["no entities here", "plain filler text"], pa.string()),
+            "tool": pa.array(["", ""], pa.string()),
+        }
+    )
+    t, n, e, m = build_graph_datasets(rd.from_arrow(tbl), batch_size=8)
+    assert t.count() == n.count() == e.count() == m.count() == 0
