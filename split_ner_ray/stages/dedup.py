@@ -154,35 +154,6 @@ def minhash_band_rows(sig_ds, *, num_perm: int = 64, bands: int = 16):
     return sig_ds.map_batches(explode, batch_format="pandas")
 
 
-def _attach_pair_payload(pairs, payload_ds, payload_col: str, *, num_buckets: int = 32):
-    """Partitioned-join helper: attach a per-id payload column to both ends
-    of a (src, dst) pair table -> columns (src, dst, {payload}_s, {payload}_d).
-
-    Two explicit hash-partitioned joins of pairs against the payload table —
-    no driver materialization, no broadcast of corpus-shaped state; this is
-    the 100 TB path for candidate verification."""
-    import pandas as pd
-
-    from .relational import partitioned_join
-
-    def as_src(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"src": batch["id"].astype("int64"),
-                             f"{payload_col}_s": batch[payload_col]})
-
-    def as_dst(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"dst": batch["id"].astype("int64"),
-                             f"{payload_col}_d": batch[payload_col]})
-
-    j1 = partitioned_join(
-        pairs, payload_ds.map_batches(as_src, batch_format="pandas"),
-        ["src"], num_buckets=num_buckets,
-    )
-    return partitioned_join(
-        j1, payload_ds.map_batches(as_dst, batch_format="pandas"),
-        ["dst"], num_buckets=num_buckets,
-    )
-
-
 # Signature tables below this row count are broadcast for candidate
 # verification (ray.put once, worker-cached — a normal broadcast-join
 # small-side decision, ~100 MB at the limit); above it the pairs are
@@ -190,14 +161,14 @@ def _attach_pair_payload(pairs, payload_ds, payload_col: str, *, num_buckets: in
 # path, where nothing corpus-shaped ever leaves the cluster.
 BROADCAST_SIGS_LIMIT = 200_000
 
-
 # Buckets larger than this emit STAR edges (bucket-minimum -> member)
 # instead of all pairs: a duplicate-heavy corpus puts thousands of
 # identical documents into one band bucket, and O(k^2) pair emission
-# explodes (measured: worker OOM deaths on 544k template-generated turns).
-# Star edges preserve the connected components for the common case
-# (bucket-mates that verify against the minimum verify transitively);
-# all-pairs is kept below the cap where borderline near-dups matter.
+# explodes (measured: worker OOM deaths on 2.17M template-generated
+# turns). Star edges preserve the connected components for the common
+# case (bucket-mates that verify against the minimum verify
+# transitively); all-pairs is kept below the cap where borderline
+# near-dups matter.
 BUCKET_PAIR_CAP = 64
 
 
@@ -410,10 +381,13 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", ngram: int = 3,
                          threshold: float = 0.7):
-    """Re-check candidate pairs with exact shingle Jaccard via a
-    partitioned join of pairs against per-doc shingle sets — fully
-    distributed (the inner join drops every non-candidate doc's shingles
-    inside the shuffle; no driver-side candidate set, no broadcast)."""
+    """Re-check candidate pairs with exact shingle Jaccard via partitioned
+    joins of pairs against per-doc shingle sets — fully distributed (the
+    inner joins drop every non-candidate doc's shingles inside the
+    shuffle; no driver-side candidate set, no broadcast). The verify runs
+    INSIDE the second join's bucket pass, so the doubly-joined shingle
+    payload never materializes (same shape as the MinHash join path)."""
+    from .relational import cogroup, partitioned_join
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -424,20 +398,35 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
         )
 
     sh_ds = docs_ds.map_batches(shingle_rows, batch_format="pandas")
-    joined = _attach_pair_payload(pairs_ds, sh_ds, "shingles")
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def as_src(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch["id"], "shingles_s": batch["shingles"]})
+
+    def as_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst": batch["id"], "shingles_d": batch["shingles"]})
+
+    j1 = partitioned_join(
+        pairs_ds, sh_ds.map_batches(as_src, batch_format="pandas"), ["src"]
+    )
+
+    def merge_verify(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "L", ["src", "dst", "shingles_s"]]
+        rg = g.loc[g["__side"] == "R", ["dst", "shingles_d"]]
+        m = lg.merge(rg, on="dst", how="inner")
         keep, jac = [], []
-        for sa, sb in zip(batch["shingles_s"], batch["shingles_d"]):
+        for sa, sb in zip(m["shingles_s"], m["shingles_d"]):
             a, b = set(sa), set(sb)
             j = len(a & b) / len(a | b) if (a or b) else 0.0
             keep.append(j >= threshold)
             jac.append(j)
-        out = batch[["src", "dst"]].copy()
+        out = m[["src", "dst"]].copy()
+        out["src"] = out["src"].astype("int64")
+        out["dst"] = out["dst"].astype("int64")
         out["jaccard"] = jac
-        return out[pd.Series(keep, index=out.index)]
+        return out[pd.Series(keep, index=out.index)] if len(out) else out
 
-    return joined.map_batches(verify, batch_format="pandas")
+    return cogroup(j1, sh_ds.map_batches(as_dst, batch_format="pandas"),
+                   ["dst"], merge_verify)
 
 
 # ---------------------------------------------------------------------------
