@@ -70,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
             window_turns=cfg.window_turns,
             max_tokens=cfg.max_tokens,
             scorer=cfg.detector_backend,
+            decode_mode=cfg.decode_mode,
+            context_mode=cfg.context_retrieval,
             link_sim_threshold=cfg.link_sim_threshold,
         )
         summary = {

@@ -24,10 +24,20 @@ class PipelineConfig:
     window_turns: int = 64         # predicate-extraction window (skew salt)
     batch_size: int = 1024
     detector_backend: str = "rules"  # scorer registry (stages/detect.py)
-    # decode variant for sub-token scorers: "first_wins" (mapping1) or
-    # "consistency" (mapping2, functions/decode.consistency_vote_assign).
-    # The rules backend tokenizes atomically, so both coincide there.
+    # decode variant for sub-token scorers: "first_wins" (mapping1),
+    # "consistency" (mapping2, functions/decode.consistency_vote_assign),
+    # or "crf" (functions/crf.crf_decode_tags — numpy Viterbi over the
+    # BIOE transition matrix, the model_crf.py:151-155 decode). Plumbed
+    # through detect_and_classify -> ScorerActor -> backend; the rules /
+    # oracle backends tokenize atomically and emit structurally valid
+    # spans directly, so all three coincide there (asserted by tests) —
+    # the hf backend is the consumer that differentiates them.
     decode_mode: str = "first_wins"
+    # S8 context retrieval: "recency" (nearest person antecedent) or
+    # "scored" (embedding-similarity re-ranked candidates — the sandbox
+    # analog of the reference's NSP-scored previous-sentence selection,
+    # utils/next_sent_prediction.py:15-60). rules.select_antecedent.
+    context_retrieval: str = "recency"
     # actor pools
     min_actors: int = 1
     max_actors: int = 8
@@ -44,9 +54,15 @@ class PipelineConfig:
             raise ValueError(
                 f"detector_backend={self.detector_backend!r}; known: {sorted(BACKENDS)}"
             )
-        if self.decode_mode not in ("first_wins", "consistency"):
+        if self.decode_mode not in ("first_wins", "consistency", "crf"):
             raise ValueError(
-                f"decode_mode={self.decode_mode!r}; known: first_wins, consistency"
+                f"decode_mode={self.decode_mode!r}; known: first_wins, consistency, crf"
+            )
+        from . import rules as _rules
+
+        if self.context_retrieval not in _rules.CONTEXT_MODES:
+            raise ValueError(
+                f"context_retrieval={self.context_retrieval!r}; known: {_rules.CONTEXT_MODES}"
             )
         if not 0.0 < self.link_sim_threshold <= 1.0:
             raise ValueError(f"link_sim_threshold out of (0, 1]: {self.link_sim_threshold}")

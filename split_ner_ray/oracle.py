@@ -37,8 +37,11 @@ def extract_mentions(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_D
     return pa.Table.from_pydict(cols, schema=MENTIONS)
 
 
-def extract_raw_triples(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT) -> pa.Table:
-    """Conversation-ordered extraction with pronoun lookback (S8 analog)."""
+def extract_raw_triples(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+                        context_mode: str = "recency") -> pa.Table:
+    """Conversation-ordered extraction with pronoun lookback (S8 analog;
+    ``context_mode`` selects recency vs embedding-scored antecedents via
+    the SAME rules.select_antecedent the distributed pipeline calls)."""
     rows = transcripts.select(["conv_id", "turn_idx", "text", "tool"]).to_pylist()
     by_conv: dict[str, list[dict]] = defaultdict(list)
     for r in rows:
@@ -49,11 +52,14 @@ def extract_raw_triples(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKEN
         recent: list[tuple[int, str]] = []  # (turn_idx, last person surface)
         for r in turns:
             mentions = rules.detect_typed_mentions(r["text"], max_tokens)
-            prev_person = None
-            for ti, surf in reversed(recent):
-                if r["turn_idx"] - ti <= rules.LOOKBACK_TURNS:
-                    prev_person = surf
-                    break
+            q_emb = (
+                rules.context_query_embedding(r["text"])
+                if context_mode == "scored"
+                else None
+            )
+            prev_person = rules.select_antecedent(
+                recent, r["turn_idx"], context_mode, q_emb
+            )
             for s_surf, s_et, pred, o_surf, o_et in rules.extract_turn_triples(
                 r["text"], r["tool"], mentions, prev_person
             ):
@@ -88,10 +94,11 @@ def link_entities(
     return out
 
 
-def build_graph(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT):
+def build_graph(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+                context_mode: str = "recency"):
     """Full oracle build -> (triples, nodes) Arrow tables (FIXTURES.md F4)."""
     mentions = extract_mentions(transcripts, max_tokens)
-    raw = extract_raw_triples(transcripts, max_tokens)
+    raw = extract_raw_triples(transcripts, max_tokens, context_mode)
 
     ment_rows = mentions.to_pylist()
     raw_rows = raw.to_pylist()

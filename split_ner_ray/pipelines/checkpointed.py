@@ -77,6 +77,8 @@ def run_extract_phase(
     window_turns: int = ex.WINDOW_TURNS,
     max_tokens: int | None = None,
     scorer: str = "rules",
+    decode_mode: str = "first_wins",
+    context_mode: str = "recency",
     metrics: _MetricsLog | None = None,
     stop_after_groups: int | None = None,
 ) -> list[int]:
@@ -98,7 +100,8 @@ def run_extract_phase(
         ds = rd.read_parquet(g["files"], columns=EXTRACT_COLS)
         combined = ex.extract_combined(
             ds, concurrency=concurrency, batch_size=batch_size,
-            window_turns=window_turns, scorer=scorer,
+            window_turns=window_turns, scorer=scorer, decode_mode=decode_mode,
+            context_mode=context_mode,
             max_tokens=max_tokens or ex.rules.MAX_TOKENS_DEFAULT,
         ).materialize()
         mentions = ex.mentions_from_combined(combined).materialize()
@@ -187,6 +190,8 @@ def build_graph_job(
     window_turns: int = ex.WINDOW_TURNS,
     max_tokens: int | None = None,
     scorer: str = "rules",
+    decode_mode: str = "first_wins",
+    context_mode: str = "recency",
     link_sim_threshold: float | None = None,
     stop_after_groups: int | None = None,
 ):
@@ -204,6 +209,8 @@ def build_graph_job(
         window_turns=window_turns,
         max_tokens=max_tokens,
         scorer=scorer,
+        decode_mode=decode_mode,
+        context_mode=context_mode,
         metrics=metrics,
         stop_after_groups=stop_after_groups,
     )

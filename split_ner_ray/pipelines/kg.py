@@ -42,6 +42,8 @@ def build_graph_datasets(
     window_turns: int = ex.WINDOW_TURNS,
     max_tokens: int | None = None,
     scorer: str = "rules",
+    decode_mode: str = "first_wins",
+    context_mode: str = "recency",
     link_sim_threshold: float | None = None,
 ):
     """transcripts Dataset -> (triples, nodes, edges, mentions) Datasets.
@@ -61,7 +63,8 @@ def build_graph_datasets(
 
     combined = ex.extract_combined(
         transcripts, concurrency=concurrency, batch_size=batch_size,
-        window_turns=window_turns, scorer=scorer,
+        window_turns=window_turns, scorer=scorer, decode_mode=decode_mode,
+        context_mode=context_mode,
         max_tokens=max_tokens or rules.MAX_TOKENS_DEFAULT,
     ).materialize()
     mentions = ex.mentions_from_combined(combined)

@@ -827,21 +827,23 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def part_topk_per_brand(sf_dir: str):
     """Per-group top-k (op O4 mechanics, deterministic variant of k-shot
-    sampling): 3 cheapest parts per brand."""
+    sampling): 3 cheapest parts per brand, via the bucketed grouped_topk
+    (many brands per task — no per-group UDF dispatch at user-cardinality
+    keys)."""
+    from .stages.relational import grouped_topk
+
     ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_partkey", "p_retailprice"])
-
-    def per_brand(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["p_retailprice", "p_partkey"]).head(3)
-        return pd.DataFrame(
-            {
-                "p_brand": g["p_brand"],
-                "p_partkey": g["p_partkey"].astype("int64"),
-                "price_c": [_cents(v) for v in g["p_retailprice"]],
-            }
-        )
-
-    df = ds.groupby("p_brand").map_groups(per_brand, batch_format="pandas").to_pandas()
-    return df.sort_values(["p_brand", "price_c", "p_partkey"]).reset_index(drop=True)
+    df = grouped_topk(
+        ds, ["p_brand"], [("p_retailprice", False), ("p_partkey", False)], 3
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "p_brand": df["p_brand"],
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "price_c": [_cents(v) for v in df["p_retailprice"]],
+        }
+    )
+    return out.sort_values(["p_brand", "price_c", "p_partkey"]).reset_index(drop=True)
 
 
 PART_TOPK_SQL = """

@@ -311,6 +311,57 @@ def last_person(mentions: list[Mention]) -> str | None:
     return p[-1].surface if p else None
 
 
+# S8 context retrieval modes: "recency" picks the most recent person
+# antecedent within LOOKBACK_TURNS (the structural analog of the
+# reference's previous-sentence context); "scored" re-ranks the SAME
+# candidate set by embedding similarity between the candidate surface and
+# the current turn text — the sandbox stand-in for the reference's
+# NSP-model-scored best-context selection
+# (utils/next_sent_prediction.py:15-60: score every candidate sentence
+# with a next-sentence-prediction head, argmax, known-text excluded).
+# Both the distributed pipeline and the oracle call select_antecedent, so
+# the channel cannot diverge between them.
+CONTEXT_MODES = ("recency", "scored")
+
+
+def context_query_embedding(text: str):
+    """Query-side embedding for scored context retrieval (computed in the
+    parallel map stage; only ~64 floats ride the reassembly shuffle, and
+    only for pronoun-initial turns)."""
+    from .stages.embed import embed_surface  # lazy: avoids import cycle
+
+    return embed_surface(text)
+
+
+def select_antecedent(
+    recent: list[tuple[int, str]],
+    turn_idx: int,
+    mode: str = "recency",
+    q_emb=None,
+) -> str | None:
+    """Pick the pronoun antecedent from the per-turn (turn_idx, last person
+    surface) history. Candidates = entries within LOOKBACK_TURNS.
+    recency: nearest turn. scored: argmax cosine(embed(candidate), q_emb),
+    ties resolved toward the more recent candidate; falls back to recency
+    when no query embedding is available (e.g. empty turn text)."""
+    cands = [(ti, s) for ti, s in recent if turn_idx - ti <= LOOKBACK_TURNS]
+    if not cands:
+        return None
+    if mode != "scored" or q_emb is None:
+        return cands[-1][1]
+    from .stages.embed import embed_surface  # lazy: avoids import cycle
+
+    import numpy as np
+
+    q = np.asarray(q_emb, dtype=np.float32)
+    best_surf, best = cands[-1][1], -np.inf
+    for _ti, s in cands:  # oldest -> newest; >= lets recency break ties
+        sc = float(embed_surface(s) @ q)
+        if sc >= best:
+            best, best_surf = sc, s
+    return best_surf
+
+
 # ---------------------------------------------------------------------------
 # Linking / canonicalization keys (S6/S7/D6 analogs)
 # ---------------------------------------------------------------------------

@@ -31,8 +31,13 @@ import pyarrow as pa
 
 from .tsv import SENTENCE_SCHEMA
 
-# the reference's tokenizer class (generate_bio.py:32)
-_SPLIT_RE = re.compile(r"([,;.!?:'\"/|_@#$%^&*~`+\-=<>()\[\]{}]|\s+)")
+# the reference's tokenizer class VERBATIM (generate_bio.py:32). Note the
+# `+-=` inside the character class is a RANGE (0x2B..0x3D), covering
+# `+,-./0123456789:;<=` — so digit runs tokenize as single characters
+# ('2015' -> '2','0','1','5'), exactly as the reference converter does;
+# the executed-reference parity test asserts this pattern matches the one
+# in the reference source character for character.
+_SPLIT_RE = re.compile(r"""([,;.!?:'"/|_@#$%^&*~`+-=<>()\[\]{}]|\s+)""")
 _SPLIT_LEN = 300
 
 

@@ -59,21 +59,26 @@ def _topk_tie_safe(sims: np.ndarray, vids: np.ndarray, kk: int):
 
 
 def _per_query_reduce(partials, k: int, exclude_self: bool):
-    def per_query(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["qid"].iloc[0])
-        g = group
+    """Final per-query top-k via ONE bucketed shuffle + a vectorized
+    sort/groupby-head/cumcount pass covering MANY queries per task (a
+    groupby(qid).map_groups paid per-query dispatch — fine at 8 queries,
+    pathological at a 10^6-query batch workload)."""
+    from .relational import hash_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
-            g = g[g["vid"] != qid]
-        g = g.sort_values(["sim", "vid"], ascending=[False, True]).head(k)
+            g = g[g["vid"] != g["qid"]]
+        s = g.sort_values(["qid", "sim", "vid"], ascending=[True, False, True])
+        top = s.groupby("qid", sort=False).head(k)
         return pd.DataFrame(
             {
-                "qid": pd.array([qid] * len(g), dtype="int64"),
-                "vid": pd.array(g["vid"].tolist(), dtype="int64"),
-                "rank": pd.array(range(1, len(g) + 1), dtype="int64"),
+                "qid": top["qid"].astype("int64"),
+                "vid": top["vid"].astype("int64"),
+                "rank": (top.groupby("qid", sort=False).cumcount() + 1).astype("int64"),
             }
         )
 
-    return partials.groupby("qid").map_groups(per_query, batch_format="pandas")
+    return hash_aggregate(partials, ["qid"], per_bucket, num_buckets=32)
 
 
 def brute_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,

@@ -4,9 +4,18 @@ embedding-cosine near-dup (driver-required training-data-pipeline ops).
 All stages follow the guide's canonical shapes: vectorized per-batch
 signature computation -> explode to (band, hash, id) rows -> groupby bands
 -> candidate pairs -> verify -> connected components (stages/graph.py) for
-cluster assignment. Every hash is seeded/deterministic (blake2b + fixed
-linear perms mod a Mersenne prime), so results are reproducible at any
-parallelism.
+cluster assignment. Every hash is seeded/deterministic (pandas' fixed-key
+siphash for strings + fixed FNV folds + fixed linear perms mod a Mersenne
+prime), so results are reproducible at any parallelism.
+
+Scale-critical layout decision (round 3): MinHash signatures live as Arrow
+``fixed_size_list(uint64, P)`` columns and shingle sets as sorted-unique
+``list(uint64)`` columns END TO END — through the candidate-verify
+partitioned joins they ride the shuffle as Arrow buffers and are viewed as
+numpy matrices per bucket. The previous representation (Python ``bytes`` /
+``list[str]`` inside pandas object columns) pickled per element through
+every join shuffle: measured 157 s for 9.8M pairs at 2.17M docs, the
+single biggest dedup cost.
 """
 
 from __future__ import annotations
@@ -22,28 +31,86 @@ import pyarrow as pa
 _PRIME = (1 << 61) - 1
 _WS = re.compile(r"\s+")
 
+_FNV_OFF = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
 PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
-# per-worker cache of the broadcast id->signature dict (one resolve+build
-# per worker process, not per batch)
-_SIG_LUT_CACHE: dict[str, dict] = {}
+# per-worker cache of the broadcast (sorted ids, signature matrix) pair
+# (one resolve per worker process, not per batch)
+_SIG_CACHE: dict[str, tuple] = {}
 
 
-def _sig_lut(ref) -> dict:
+def _sig_lookup(ref) -> tuple[np.ndarray, np.ndarray]:
     import ray
 
     key = ref.hex()
-    lut = _SIG_LUT_CACHE.get(key)
-    if lut is None:
-        sf = ray.get(ref)
-        lut = dict(zip(sf["id"], sf["sig"]))
-        _SIG_LUT_CACHE.clear()
-        _SIG_LUT_CACHE[key] = lut
-    return lut
+    hit = _SIG_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _SIG_CACHE.clear()
+        _SIG_CACHE[key] = hit
+    return hit
 
 
 def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _hash_strings(strs: list[str]) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of many strings in ONE C call
+    (pandas' fixed-key siphash) — replaces a per-string blake2b loop that
+    capped signature throughput at ~90k docs/s."""
+    if not strs:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(strs, dtype=object))
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-segment)."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def _shingle_stream(texts: list[str], ngram: int):
+    """Tokenize a batch and hash every word n-gram shingle: returns
+    (shingle_hashes uint64, per-doc shingle counts int64). A doc with
+    0 < tokens < ngram contributes ONE shingle (the fold of all its
+    tokens — the hashed analog of word_shingles' single joined shingle);
+    an empty doc contributes none. One vectorized string-hash call per
+    batch, then pure-numpy FNV folds over consecutive token hashes —
+    identical identity structure to the string shingles (two shingles
+    collide iff their token tuples match, up to 2^-64 hash collisions)."""
+    tok_lists = [t.split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    th = _hash_strings([w for toks in tok_lists for w in toks])
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    sh_counts = np.where(
+        counts >= ngram, counts - ngram + 1, np.where(counts > 0, 1, 0)
+    ).astype(np.int64)
+    out = np.empty(int(sh_counts.sum()), dtype=np.uint64)
+    out_starts = np.concatenate([[0], np.cumsum(sh_counts)])
+
+    big = np.nonzero(counts >= ngram)[0]
+    if len(big):
+        n_sh = counts[big] - ngram + 1
+        pos = np.repeat(starts[big], n_sh) + _ranges(n_sh)
+        sh = np.full(len(pos), _FNV_OFF, dtype=np.uint64)
+        for j in range(ngram):
+            sh = (sh ^ th[pos + j]) * _FNV_PRIME
+        # scatter the contiguous runs into the output stream
+        dst = np.repeat(out_starts[big], n_sh) + _ranges(n_sh)
+        out[dst] = sh
+    small = np.nonzero((counts > 0) & (counts < ngram))[0]
+    mask64 = (1 << 64) - 1
+    for d in small:  # rare path: short docs, tiny loop (python ints: no
+        h = int(_FNV_OFF)  # numpy scalar overflow warnings, same wrap)
+        for p in range(starts[d], starts[d + 1]):
+            h = ((h ^ int(th[p])) * int(_FNV_PRIME)) & mask64
+        out[out_starts[d]] = np.uint64(h)
+    return out, sh_counts
 
 
 def word_shingles(text: str, n: int = 3) -> set[str]:
@@ -90,8 +157,15 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 class MinHasher:
-    """Seeded 64-perm MinHash over word n-gram shingles; signatures are a
-    pure function of the text (deterministic across workers)."""
+    """Seeded P-perm MinHash over word n-gram shingles; signatures are a
+    pure function of the text (deterministic across workers). The batch
+    path is fully vectorized: one string-hash call per batch, FNV shingle
+    folds, a (P, S) modular-linear perm matrix, and per-doc mins via
+    ``np.minimum.reduceat`` over the shingle stream."""
+
+    # bound the (P, S) perm matrix to ~64 MB per task regardless of batch
+    # shape (chunk over the shingle stream at doc granularity)
+    MAX_SHINGLES_PER_CHUNK = 131_072
 
     def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 7):
         rng = random.Random(seed)
@@ -100,58 +174,110 @@ class MinHasher:
         self.num_perm = num_perm
         self.ngram = ngram
 
+    def _min_over(self, sh: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _PRIME
+        return np.minimum.reduceat(prod, seg_starts, axis=1).T  # (D', P)
+
+    def signature_batch(self, texts: list[str]) -> np.ndarray:
+        """-> (len(texts), num_perm) uint64 matrix; empty docs = _PRIME."""
+        D = len(texts)
+        out = np.full((D, self.num_perm), _PRIME, dtype=np.uint64)
+        sh, sh_counts = _shingle_stream(texts, self.ngram)
+        if not len(sh):
+            return out
+        nonempty = np.nonzero(sh_counts > 0)[0]
+        offs = np.concatenate([[0], np.cumsum(sh_counts)])
+        # chunk over docs so the perm matrix stays bounded
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            tot = 0
+            while hi < len(nonempty) and (
+                tot + sh_counts[nonempty[hi]] <= self.MAX_SHINGLES_PER_CHUNK or hi == lo
+            ):
+                tot += sh_counts[nonempty[hi]]
+                hi += 1
+            docs = nonempty[lo:hi]
+            chunk = np.concatenate(
+                [sh[offs[d] : offs[d + 1]] for d in docs]
+            ) if len(docs) > 1 else sh[offs[docs[0]] : offs[docs[0] + 1]]
+            seg = np.concatenate([[0], np.cumsum(sh_counts[docs])])[:-1]
+            out[docs] = self._min_over(chunk, seg)
+            lo = hi
+        return out
+
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.ngram)
-        if not sh:
-            return np.full(self.num_perm, _PRIME, dtype=np.uint64)
-        base = np.array([_h64(s) for s in sorted(sh)], dtype=np.uint64)
-        # (P, S) perm matrix via modular linear hashing, min over shingles
-        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % _PRIME
-        return prod.min(axis=1)
+        return self.signature_batch([text])[0]
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """Arrow fixed_size_list(uint64, P) column -> (N, P) numpy view
+    (zero-copy off the Arrow buffers; flatten() handles slice offsets)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = arr.type.list_size
+    if len(arr) == 0:
+        return np.empty((0, width), dtype=np.uint64)
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(len(arr), width)
 
 
 def minhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text",
                        num_perm: int = 64, ngram: int = 3, seed: int = 7):
-    """docs -> (id, sig) rows; sig = uint64 signature as fixed-size bytes
-    (one compact value per doc, never duplicated per band)."""
+    """docs -> Arrow (id:int64, sig:fixed_size_list<uint64, P>) rows — one
+    compact fixed-width value per doc that every downstream stage reads as
+    a numpy matrix without per-element conversion."""
 
     class Sigs:
         def __init__(self):
             self.mh = MinHasher(num_perm, ngram, seed)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids = batch[id_col].astype("int64").tolist()
-            sigs = [self.mh.signature(t).tobytes() for t in batch[text_col]]
-            return pd.DataFrame({"id": pd.array(ids, dtype="int64"), "sig": sigs})
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            mat = self.mh.signature_batch(texts)
+            sig = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), type=pa.uint64()), num_perm
+            )
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"id": pc.cast(batch.column(id_col), pa.int64()), "sig": sig}
+            )
 
     # stateless-cheap setup (two numpy arrays): an elastic task pool uses
     # every free CPU instead of capping the stage at a fixed actor count
-    return ds.map_batches(Sigs(), batch_format="pandas")
+    return ds.map_batches(Sigs(), batch_format="pyarrow", batch_size=4096,
+                          zero_copy_batch=True)
+
+
+def _band_hashes(mat: np.ndarray, bands: int) -> np.ndarray:
+    """(D, P) signature matrix -> (D, bands) int64 band hashes (FNV fold
+    over each band's rows — pure numpy, no per-row loop)."""
+    D, P = mat.shape
+    r = P // bands
+    resh = mat.reshape(D, bands, r)
+    h = np.full((D, bands), _FNV_OFF, dtype=np.uint64)
+    for j in range(r):
+        h = (h ^ resh[:, :, j]) * _FNV_PRIME
+    return h.view(np.int64)
 
 
 def minhash_band_rows(sig_ds, *, num_perm: int = 64, bands: int = 16):
     """signatures -> (band, band_hash, id) integer rows — the only thing
-    the LSH shuffle moves."""
-    rows_per_band = num_perm // bands
+    the LSH shuffle moves. Vectorized: numpy band folds + repeat/tile."""
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "band_hash": [], "id": []}
-        for i, sb in zip(batch["id"], batch["sig"]):
-            sig = np.frombuffer(sb, dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                out["band"].append(b)
-                out["band_hash"].append(_h64(chunk.tobytes().hex()) - (1 << 63))
-                out["id"].append(int(i))
-        return pd.DataFrame(
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = _sig_matrix(batch.column("sig"))
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        bh = _band_hashes(mat, bands)
+        D = len(ids)
+        return pa.table(
             {
-                "band": pd.array(out["band"], dtype="int64"),
-                "band_hash": pd.array(out["band_hash"], dtype="int64"),
-                "id": pd.array(out["id"], dtype="int64"),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), D)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "id": pa.array(np.repeat(ids, bands)),
             }
         )
 
-    return sig_ds.map_batches(explode, batch_format="pandas")
+    return sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # Signature tables below this row count are broadcast for candidate
@@ -168,7 +294,12 @@ BROADCAST_SIGS_LIMIT = 200_000
 # turns). Star edges preserve the connected components for the common
 # case (bucket-mates that verify against the minimum verify
 # transitively); all-pairs is kept below the cap where borderline
-# near-dups matter.
+# near-dups matter. NOTE for callers consuming PAIRS (not components):
+# in a >cap bucket a near-dup pair of two non-min members is represented
+# only via the bucket minimum, and if either member fails verification
+# against the minimum that pair is absent from the output — a documented
+# pairs-level recall trade for O(k) instead of O(k^2) work (see
+# simhash_dup_pairs / cosine_dup_pairs for the same note).
 BUCKET_PAIR_CAP = 64
 
 
@@ -180,7 +311,10 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
     above), deduped.
 
     Verification = signature-estimated Jaccard >= threshold (the standard
-    MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs."""
+    MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs.
+    Above the broadcast limit the two joins keep signatures as Arrow
+    fixed-width columns and verify on numpy views per bucket — no Python
+    bytes ever ride the shuffle."""
     import ray
 
     from .relational import hash_aggregate
@@ -232,61 +366,116 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
     if sig_ds.count() <= broadcast_sigs_limit:
         # broadcast verify first (a map, no shuffle), THEN one dedup
         # shuffle over the verified (smaller) pair set
-        ref = ray.put(sig_ds.select_columns(["id", "sig"]).to_pandas())
+        tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        mat = _sig_matrix(tbl.column("sig"))
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], mat[order]))
 
         def verify_b(batch: pd.DataFrame) -> pd.DataFrame:
             if not len(batch):
                 return batch[["src", "dst"]]
-            lut = _sig_lut(ref)
-            a = np.stack([np.frombuffer(lut[int(s)], dtype=np.uint64) for s in batch["src"]])
-            b = np.stack([np.frombuffer(lut[int(d)], dtype=np.uint64) for d in batch["dst"]])
-            est = (a == b).mean(axis=1)
+            ids_s, m = _sig_lookup(ref)
+            i = np.searchsorted(ids_s, batch["src"].to_numpy(dtype=np.int64))
+            j = np.searchsorted(ids_s, batch["dst"].to_numpy(dtype=np.int64))
+            est = (m[i] == m[j]).mean(axis=1)
             return batch.loc[est >= verify_threshold, ["src", "dst"]]
 
         verified = pairs.map_batches(verify_b, batch_format="pandas")
         return hash_aggregate(verified, ["src", "dst"], dedup_pairs)
 
     pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs)
-
-    # join 1 attaches sig_s; join 2 attaches sig_d AND verifies inside the
-    # same per-bucket pass, emitting only int pairs — the verified-pair
-    # output never materializes signature bytes (measured 154 s -> far
-    # less at 9.8M pairs x 2.17M x 256 B sigs when the 5 GB joined table
-    # is never produced).
-    from .relational import partitioned_join
-
-    def as_src(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"src": batch["id"].astype("int64"),
-                             "sig_s": batch["sig"]})
-
-    j1 = partitioned_join(
-        pairs, sig_ds.map_batches(as_src, batch_format="pandas"), ["src"]
+    return _verify_pairs_by_join(
+        pairs, sig_ds, "sig",
+        lambda a, b: (a == b).mean(axis=1) >= verify_threshold,
+        matrix_of=_sig_matrix,
     )
 
-    def as_dst(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"dst": batch["id"].astype("int64"),
-                             "sig_d": batch["sig"]})
 
-    def merge_verify(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "L", ["src", "dst", "sig_s"]]
-        rg = g.loc[g["__side"] == "R", ["dst", "sig_d"]]
-        m = lg.merge(rg, on="dst", how="inner")
-        if not len(m):
-            return pd.DataFrame(
-                {"src": pd.array([], dtype="int64"), "dst": pd.array([], dtype="int64")}
-            )
-        a = np.stack([np.frombuffer(s, dtype=np.uint64) for s in m["sig_s"]])
-        b = np.stack([np.frombuffer(s, dtype=np.uint64) for s in m["sig_d"]])
-        est = (a == b).mean(axis=1)
-        out = m.loc[est >= verify_threshold, ["src", "dst"]]
-        out["src"] = out["src"].astype("int64")
-        out["dst"] = out["dst"].astype("int64")
-        return out
+def _verify_pairs_by_join(pairs, payload_ds, payload_col, keep_fn, *,
+                          matrix_of, extra_cols_fn=None):
+    """Shared join-verify shape: attach the payload column to src (join 1),
+    then to dst with the verdict computed INSIDE the second join's bucket
+    pass (join 2) — the doubly-joined payload never materializes, and the
+    payload rides both shuffles as native Arrow buffers.
 
-    from .relational import cogroup
+    ``payload_ds``: Arrow (id, payload_col); ``matrix_of``: Arrow column ->
+    per-row numpy structure; ``keep_fn(a, b) -> bool mask``;
+    ``extra_cols_fn(a, b, keep) -> dict of extra output columns``."""
+    from .relational import cogroup, match_indices, sides
 
-    return cogroup(j1, sig_ds.map_batches(as_dst, batch_format="pandas"),
-                   ["dst"], merge_verify)
+    def pairs_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(b["src"].to_numpy(dtype=np.int64)),
+                "dst": pa.array(b["dst"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    pairs_a = pairs.map_batches(pairs_arrow, batch_format="pandas")
+
+    def as_src(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": batch.column("id"), "p_s": batch.column(payload_col)}
+        )
+
+    def as_dst(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dst": batch.column("id"), "p_d": batch.column(payload_col)}
+        )
+
+    def attach_src(group: pa.Table) -> pa.Table:
+        lt, rt = sides(group)
+        il, ir = match_indices(
+            lt.column("src").to_numpy(zero_copy_only=False),
+            rt.column("src").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "src": lt.column("src").take(il),
+                "dst": lt.column("dst").take(il),
+                "p_s": rt.column("p_s").take(ir),
+            }
+        )
+
+    j1 = cogroup(
+        pairs_a,
+        payload_ds.map_batches(as_src, batch_format="pyarrow", zero_copy_batch=True),
+        ["src"],
+        attach_src,
+    )
+
+    def merge_verify(group: pa.Table) -> pa.Table:
+        lt, rt = sides(group)
+        il, ir = match_indices(
+            lt.column("dst").to_numpy(zero_copy_only=False),
+            rt.column("dst").to_numpy(zero_copy_only=False),
+        )
+        out_cols = {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+        }
+        if extra_cols_fn is not None:
+            out_cols.update(extra_cols_fn(None, None, None))
+        if len(il):
+            a = matrix_of(lt.column("p_s").take(il))
+            b = matrix_of(rt.column("p_d").take(ir))
+            keep = np.asarray(keep_fn(a, b))
+            kept = il[keep]
+            out_cols = {
+                "src": lt.column("src").take(kept),
+                "dst": lt.column("dst").take(kept),
+            }
+            if extra_cols_fn is not None:
+                out_cols.update(extra_cols_fn(a, b, keep))
+        return pa.table(out_cols)
+
+    return cogroup(
+        j1,
+        payload_ds.map_batches(as_dst, batch_format="pyarrow", zero_copy_batch=True),
+        ["dst"],
+        merge_verify,
+    )
 
 
 def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -328,7 +517,13 @@ def simhash64(text: str) -> int:
 def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       max_hamming: int = 3):
     """SimHash blocking: 4 x 16-bit bands (any pair within hamming<=3 shares
-    at least one exact band by pigeonhole) -> verify hamming distance."""
+    at least one exact band by pigeonhole) -> verify hamming distance.
+
+    Pairs-level recall note: buckets above BUCKET_PAIR_CAP emit star edges
+    through the bucket minimum only — a non-min/non-min near-dup pair in
+    such a bucket appears only if both members verify against the minimum.
+    Component structure is preserved; direct pair consumers see fewer pairs
+    in duplicate-heavy buckets (same trade as candidate_pairs_from_bands)."""
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         out = {"band": [], "band_val": [], "id": [], "sim": []}
@@ -378,6 +573,42 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # exact n-gram Jaccard verification (for LSH candidates)
 # ---------------------------------------------------------------------------
 
+def shingle_sets(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 ngram: int = 3):
+    """docs -> Arrow (id:int64, sh:list<uint64>) sorted-unique hashed
+    shingle sets (vectorized: one hash pass + a global lexsort dedup)."""
+    import pyarrow.compute as pc
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sh, counts = _shingle_stream(texts, ngram)
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        if len(sh):
+            order = np.lexsort((sh, doc_of))
+            sh, doc_of = sh[order], doc_of[order]
+            first = np.ones(len(sh), dtype=bool)
+            first[1:] = (sh[1:] != sh[:-1]) | (doc_of[1:] != doc_of[:-1])
+            sh, doc_of = sh[first], doc_of[first]
+        uniq_counts = np.bincount(doc_of, minlength=len(texts))
+        offsets = np.concatenate([[0], np.cumsum(uniq_counts)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(sh, pa.uint64())
+        )
+        return pa.table(
+            {"id": pc.cast(batch.column(id_col), pa.int64()), "sh": lst}
+        )
+
+    return docs_ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _list_rows(col) -> list[np.ndarray]:
+    """Arrow list<uint64> column -> list of per-row numpy arrays."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = arr.values.to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    return [values[offsets[i]: offsets[i + 1]] for i in range(len(arr))]
+
+
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", ngram: int = 3,
                          threshold: float = 0.7):
@@ -386,47 +617,42 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
     inner joins drop every non-candidate doc's shingles inside the
     shuffle; no driver-side candidate set, no broadcast). The verify runs
     INSIDE the second join's bucket pass, so the doubly-joined shingle
-    payload never materializes (same shape as the MinHash join path)."""
-    from .relational import cogroup, partitioned_join
+    payload never materializes; shingle sets travel as Arrow list<uint64>
+    buffers and the per-pair intersection is a sorted-array intersect.
+    Output adds integer jac_num/jac_den (SQL-exact) plus the float ratio."""
+    sh_ds = shingle_sets(docs_ds, id_col=id_col, text_col=text_col, ngram=ngram)
 
-    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "id": batch[id_col].astype("int64"),
-                "shingles": [sorted(word_shingles(t, ngram)) for t in batch[text_col]],
+    state: dict = {}
+
+    def keep_fn(a_rows, b_rows):
+        num = np.empty(len(a_rows), dtype=np.int64)
+        den = np.empty(len(a_rows), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(a_rows, b_rows)):
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            num[i] = inter
+            den[i] = len(a) + len(b) - inter
+        jac = np.where(den > 0, num / np.maximum(den, 1), 0.0)
+        keep = jac >= threshold
+        state["num"], state["den"], state["jac"] = num, den, jac
+        return keep
+
+    def extra_cols(a_rows, b_rows, keep):
+        if a_rows is None:
+            return {
+                "jac_num": pa.array([], pa.int64()),
+                "jac_den": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
             }
-        )
+        return {
+            "jac_num": pa.array(state["num"][keep]),
+            "jac_den": pa.array(state["den"][keep]),
+            "jaccard": pa.array(state["jac"][keep]),
+        }
 
-    sh_ds = docs_ds.map_batches(shingle_rows, batch_format="pandas")
-
-    def as_src(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"src": batch["id"], "shingles_s": batch["shingles"]})
-
-    def as_dst(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"dst": batch["id"], "shingles_d": batch["shingles"]})
-
-    j1 = partitioned_join(
-        pairs_ds, sh_ds.map_batches(as_src, batch_format="pandas"), ["src"]
+    return _verify_pairs_by_join(
+        pairs_ds, sh_ds, "sh", keep_fn, matrix_of=_list_rows,
+        extra_cols_fn=extra_cols,
     )
-
-    def merge_verify(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "L", ["src", "dst", "shingles_s"]]
-        rg = g.loc[g["__side"] == "R", ["dst", "shingles_d"]]
-        m = lg.merge(rg, on="dst", how="inner")
-        keep, jac = [], []
-        for sa, sb in zip(m["shingles_s"], m["shingles_d"]):
-            a, b = set(sa), set(sb)
-            j = len(a & b) / len(a | b) if (a or b) else 0.0
-            keep.append(j >= threshold)
-            jac.append(j)
-        out = m[["src", "dst"]].copy()
-        out["src"] = out["src"].astype("int64")
-        out["dst"] = out["dst"].astype("int64")
-        out["jaccard"] = jac
-        return out[pd.Series(keep, index=out.index)] if len(out) else out
-
-    return cogroup(j1, sh_ds.map_batches(as_dst, batch_format="pandas"),
-                   ["dst"], merge_verify)
 
 
 # ---------------------------------------------------------------------------
@@ -448,6 +674,11 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
     exact O(N^2) brute force, which materializes the full embedding matrix
     as a broadcast — correct, but for small inputs only (kept as the
     recall oracle the tests verify the LSH path against).
+
+    Pairs-level recall note (same as simhash_dup_pairs): buckets above
+    4*BUCKET_PAIR_CAP star-verify against the bucket minimum only, so
+    direct pair consumers see fewer pairs inside duplicate-heavy buckets;
+    connected components are preserved for members similar to the minimum.
     """
     import ray
 

@@ -46,12 +46,19 @@ class ScorerBackend:
 class RulesBackend(ScorerBackend):
     """Deterministic pattern + gazetteer scorer — the shared rule core
     (rules.py), i.e. the same span semantics as the oracle by construction:
-    first-wins assignment, B/I adjacency decode, M9 truncation."""
+    first-wins assignment, B/I adjacency decode, M9 truncation.
+
+    ``decode_mode`` is accepted for interface parity: this backend
+    tokenizes atomically (one class per token, no sub-token grid), so
+    mapping1 / mapping2 / crf decode all coincide — the mode only
+    differentiates sub-token scorers (HFTransformerBackend)."""
 
     name = "rules"
 
-    def __init__(self, max_tokens: int = rules.MAX_TOKENS_DEFAULT):
+    def __init__(self, max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+                 decode_mode: str = "first_wins"):
         self.max_tokens = max_tokens
+        self.decode_mode = decode_mode
         # compile the pattern/gazetteer "weights" in this worker up front
         rules.detect_spans("warmup Acme Corp", max_tokens)
 
@@ -66,8 +73,10 @@ class OracleBackend(ScorerBackend):
 
     name = "oracle"
 
-    def __init__(self, max_tokens: int = rules.MAX_TOKENS_DEFAULT):
+    def __init__(self, max_tokens: int = rules.MAX_TOKENS_DEFAULT,
+                 decode_mode: str = "first_wins"):
         self.max_tokens = max_tokens
+        self.decode_mode = decode_mode  # atomic tokenization: see RulesBackend
 
     def score_batch(self, texts: list[str]) -> list[list[rules.Mention]]:
         out = []
@@ -89,8 +98,10 @@ class HFTransformerBackend(ScorerBackend):
 
     Sub-token -> token projection for this backend uses the alignment
     structure in functions/wordpiece.py (align_subtokens / subtoken_grid)
-    with the mapping1 (first_wins_assign) or mapping2
-    (consistency_vote_assign) decode per PipelineConfig.decode_mode.
+    with the decode selected by PipelineConfig.decode_mode: mapping1
+    (first_wins_assign), mapping2 (consistency_vote_assign), or crf
+    (functions/crf.crf_decode_tags — numpy Viterbi over the BIOE
+    transition matrix, the model_crf.py:151-155 path).
 
     Import-gated: this sandbox has no torch/transformers, so construction
     fails loudly instead of silently running a fake."""
@@ -100,7 +111,7 @@ class HFTransformerBackend(ScorerBackend):
     def __init__(self, detector_model: str = "bert-base-uncased",
                  classifier_model: str = "bert-base-uncased",
                  max_tokens: int = rules.MAX_TOKENS_DEFAULT,
-                 device: str = "cuda"):
+                 device: str = "cuda", decode_mode: str = "first_wins"):
         try:
             import torch  # noqa: F401
             import transformers  # noqa: F401

@@ -116,6 +116,7 @@ def detect_and_classify(
     backend: str = "tasks",
     scorer: str = "rules",
     num_gpus: float = 0,
+    decode_mode: str = "first_wins",
 ):
     """read columns (conv_id, turn_idx, text, tool, ...) -> + mentions col.
 
@@ -148,7 +149,8 @@ def detect_and_classify(
         else:
             from .detect import ScorerActor
 
-            fn = ScorerActor(scorer=scorer, max_tokens=max_tokens)
+            fn = ScorerActor(scorer=scorer, max_tokens=max_tokens,
+                             decode_mode=decode_mode)
         return ds.map_batches(
             fn,
             batch_format="pyarrow",
@@ -162,7 +164,8 @@ def detect_and_classify(
         kwargs = {"num_gpus": num_gpus}
     return ds.map_batches(
         ScorerActor,
-        fn_constructor_kwargs={"scorer": scorer, "max_tokens": max_tokens},
+        fn_constructor_kwargs={"scorer": scorer, "max_tokens": max_tokens,
+                               "decode_mode": decode_mode},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -256,7 +259,8 @@ COMBINED = pa.schema(
 def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                      window_turns: int = WINDOW_TURNS, num_buckets: int = 128,
                      max_tokens: int = rules.MAX_TOKENS_DEFAULT,
-                     scorer: str = "rules"):
+                     scorer: str = "rules", decode_mode: str = "first_wins",
+                     context_mode: str = "recency"):
     """read -> detect -> classify -> window -> bucketed group extraction ->
     tagged mention+triple rows (COMBINED schema).
 
@@ -280,7 +284,7 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
             mask = pc.match_substring_regex(batch.column("text"), "[A-Z]").to_numpy(
                 zero_copy_only=False
             )
-            ments_col, pair_preds, pron_preds = [], [], []
+            ments_col, pair_preds, pron_preds, pron_embs = [], [], [], []
             for i, text in enumerate(texts):
                 ms = rules.detect_typed_mentions(text, max_tokens) if mask[i] else []
                 ments_col.append(
@@ -293,23 +297,37 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                 pp, pron = rules.precompute_turn_preds(text, ms)
                 pair_preds.append(pp)
                 pron_preds.append(pron)
+                # scored S8: the query embedding is a pure function of the
+                # turn text, computed HERE so the reassembly shuffle still
+                # never carries text — only ~64 floats, and only for
+                # pronoun-initial turns
+                pron_embs.append(
+                    [float(x) for x in rules.context_query_embedding(text)]
+                    if (context_mode == "scored" and pron is not None)
+                    else None
+                )
             out = batch.drop_columns(["text"])
             return out.append_column(
                 "mentions", pa.array(ments_col, type=pa.list_(MENTION_STRUCT))
             ).append_column(
                 "pair_preds", pa.array(pair_preds, type=pa.list_(pa.string()))
-            ).append_column("pron_pred", pa.array(pron_preds, type=pa.string()))
+            ).append_column(
+                "pron_pred", pa.array(pron_preds, type=pa.string())
+            ).append_column(
+                "pron_emb", pa.array(pron_embs, type=pa.list_(pa.float32()))
+            )
 
         ds = ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=batch_size)
     else:
         ds = detect_and_classify(ds, concurrency=concurrency, batch_size=batch_size,
-                                 max_tokens=max_tokens, scorer=scorer)
+                                 max_tokens=max_tokens, scorer=scorer,
+                                 decode_mode=decode_mode)
 
         def precompute(batch: pa.Table) -> pa.Table:
             texts = batch.column("text").to_pylist()
             ments = batch.column("mentions").to_pylist()
-            pair_preds, pron_preds = [], []
+            pair_preds, pron_preds, pron_embs = [], [], []
             for text, row in zip(texts, ments):
                 mentions = [
                     rules.Mention(m["start"], m["end"], m["surface"], m["etype"], m["score"])
@@ -318,10 +336,19 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                 pp, pron = rules.precompute_turn_preds(text, mentions)
                 pair_preds.append(pp)
                 pron_preds.append(pron)
+                pron_embs.append(
+                    [float(x) for x in rules.context_query_embedding(text)]
+                    if (context_mode == "scored" and pron is not None)
+                    else None
+                )
             out = batch.drop_columns(["text"])
             return out.append_column(
                 "pair_preds", pa.array(pair_preds, type=pa.list_(pa.string()))
-            ).append_column("pron_pred", pa.array(pron_preds, type=pa.string()))
+            ).append_column(
+                "pron_pred", pa.array(pron_preds, type=pa.string())
+            ).append_column(
+                "pron_emb", pa.array(pron_embs, type=pa.list_(pa.float32()))
+            )
 
         ds = ds.map_batches(precompute, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=batch_size)
@@ -357,6 +384,7 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
         ments = group.column("mentions").to_pylist()
         pair_preds = group.column("pair_preds").to_pylist()
         pron_preds = group.column("pron_pred").to_pylist()
+        pron_embs = group.column("pron_emb").to_pylist()
         n = len(turn)
         cols = {name: [] for name in COMBINED.names}
 
@@ -392,11 +420,9 @@ def extract_combined(ds, *, concurrency=None, batch_size: int = 4096,
                         emit(0, conv[r], turn[r], start=m.start, end=m.end,
                              surface=m.surface, etype=m.etype, score=m.score)
                         occ[(m.etype, m.surface)] += 1
-                prev_person = None
-                for ti, surf in reversed(recent):
-                    if turn[r] - ti <= rules.LOOKBACK_TURNS:
-                        prev_person = surf
-                        break
+                prev_person = rules.select_antecedent(
+                    recent, turn[r], context_mode, pron_embs[r]
+                )
                 if not carry[r]:
                     for s_surf, s_et, pred, o_surf, o_et in rules.triples_from_precomputed(
                         mentions, pair_preds[r], pron_preds[r], tool[r], prev_person

@@ -2,34 +2,28 @@
 
 The KG linker never needs this (its similarity edges are block-partitioned
 by construction — stages/linking.py), but near-dup clustering does: LSH
-candidate pairs cross blocks. This operator is the engine's iterative
-dataflow: min-label propagation as a driver loop of BUCKETED passes with a
-cheap convergence check (labels are monotonically non-increasing, so an
-unchanged label-sum means a fixed point). Reference analog: the k-medoids
-remap loop in utils/mention_clustering.py:44-65, lifted to dataflow.
+candidate pairs cross blocks. Reference analog: the k-medoids remap loop in
+utils/mention_clustering.py:44-65, lifted to dataflow.
 
-Physical shape (the round-2 rewrite): every pass is hash-bucketed — a
-partitioned join of the symmetric edge list against the current labels
-(offer my label to each neighbor) plus one bucketed min-aggregate per node.
-No per-node UDF dispatch anywhere: at 10^8 nodes each round is two bucketed
-shuffles of (int, int) rows with vectorized pandas min inside, not 2N
-map_groups calls. Convergence is O(component diameter) rounds; the
-similarity graphs this engine builds (near-dup clusters) have short
-diameters (2-4 rounds). A large-star/small-star scheme would cut worst
-cases to O(log n) at the cost of two joins per round — documented
-trade-off.
+Two regimes:
+- small graphs: driver union-find (10M edges = 160 MB of int pairs; an
+  in-memory union-find beats any dataflow loop whose per-round shuffle
+  latency dominates — measured 654 s of join rounds vs 20 s driver at
+  2.56M edges under the round-2 label-propagation design).
+- beyond driver memory: ALTERNATING LARGE-STAR / SMALL-STAR rounds
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"): each
+  round is ONE bucketed int-pair shuffle with a vectorized pandas
+  min/transform pass per bucket (no joins, no NA-padding, no per-node
+  dispatch), plus one cheap dedup+checksum pass for convergence. Edges
+  converge to stars rooted at each component's minimum id in O(log n)
+  rounds; the round-2 design paid THREE all-to-alls per round and
+  re-padded the static edge list through a cogroup every round.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-
-
-def _label_sum(ds) -> int:
-    from ray.data.aggregate import Sum
-
-    row = ds.aggregate(Sum("label", alias_name="s"))
-    return int(row["s"]) if row and row.get("s") is not None else 0
 
 
 def _driver_cc(edges: pd.DataFrame):
@@ -68,33 +62,136 @@ def _driver_cc(edges: pd.DataFrame):
 
 # Below this many edges the graph fits driver memory comfortably (10M
 # edges = 160 MB of int64 pairs; the union-find dict stays in low GBs on a
-# 128 GB driver) and an in-memory union-find beats label-propagation
-# rounds whose per-round join cost dominates (measured: iterative CC on a
-# 2.56M-edge / 922k-node near-dup graph = 654 s of partitioned-join
-# rounds vs seconds of driver union-find). Above it, the bucketed
-# label-propagation rounds run — the 100 TB path (billions of edges never
-# fit a driver).
+# 128 GB driver) and an in-memory union-find beats shuffle rounds whose
+# fixed latency dominates. Above it, the star rounds run — the 100 TB
+# path (billions of edges never fit a driver).
 SMALL_GRAPH_EDGES = 10_000_000
+
+
+def _large_star(edges, num_buckets: int):
+    """One large-star round: for every node u (over the SYMMETRIZED edge
+    list), m = min(neighbors + u); emit (v, m) for each neighbor v > u.
+    Output edges always point downward (dst < src)."""
+    from .relational import hash_aggregate
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy(dtype=np.int64)
+        d = batch["dst"].to_numpy(dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([s, d]),
+                "nbr": np.concatenate([d, s]),
+            }
+        )
+
+    rows = edges.map_batches(expand, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        m = np.minimum(
+            g.groupby("node", sort=False)["nbr"].transform("min").to_numpy(dtype=np.int64),
+            node,
+        )
+        keep = nbr > node
+        return pd.DataFrame({"src": nbr[keep], "dst": m[keep]})
+
+    return hash_aggregate(rows, ["node"], per_bucket, num_buckets=num_buckets)
+
+
+def _small_star(edges, num_buckets: int):
+    """One small-star round: orient every edge (hi, lo); per hi,
+    m = min(lo's); emit (hi, m) and (lo, m) for lo != m."""
+    from .relational import hash_aggregate
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy(dtype=np.int64)
+        d = batch["dst"].to_numpy(dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"node": np.maximum(s, d), "nbr": np.minimum(s, d)})
+
+    rows = edges.map_batches(orient, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        mins = g.groupby("node", sort=False)["nbr"].transform("min").to_numpy(dtype=np.int64)
+        per_node = g.groupby("node", sort=False)["nbr"].min().reset_index()
+        keep = nbr != mins
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "src": per_node["node"].to_numpy(dtype=np.int64),
+                        "dst": per_node["nbr"].to_numpy(dtype=np.int64),
+                    }
+                ),
+                pd.DataFrame({"src": nbr[keep], "dst": mins[keep]}),
+            ],
+            ignore_index=True,
+        )
+
+    return hash_aggregate(rows, ["node"], per_bucket, num_buckets=num_buckets)
+
+
+def _dedup_edges(edges, num_buckets: int):
+    from .relational import hash_aggregate
+
+    return hash_aggregate(
+        edges, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]),
+        num_buckets=num_buckets,
+    )
+
+
+def _edge_checksum(edges) -> tuple[int, int]:
+    """(row count, order-independent content hash) of an edge Dataset —
+    one cheap streaming pass, tiny partials to the driver."""
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[["src", "dst"]], index=False).to_numpy()
+        return pd.DataFrame(
+            {"n": [len(batch)], "h": [int(h.sum(dtype=np.uint64)) & ((1 << 63) - 1)]}
+        )
+
+    parts = edges.map_batches(part, batch_format="pandas").to_pandas()
+    return int(parts["n"].sum()), int(
+        np.int64(parts["h"].to_numpy(dtype=np.int64).sum(dtype=np.int64))
+    )
 
 
 def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,
                          small_graph_edges: int = SMALL_GRAPH_EDGES):
     """edges (src:int64, dst:int64) -> Dataset (node:int64, label:int64)
     where label = min node id of the component."""
-    from .relational import hash_aggregate, partitioned_join
+    from .relational import hash_aggregate
 
-    def to_sym(batch: pd.DataFrame) -> pd.DataFrame:
-        fwd = pd.DataFrame({"node": batch["src"].astype("int64"),
-                            "nbr": batch["dst"].astype("int64")})
-        rev = pd.DataFrame({"node": batch["dst"].astype("int64"),
-                            "nbr": batch["src"].astype("int64")})
-        return pd.concat([fwd, rev], ignore_index=True)
+    edges = edges_ds.materialize()
+    if edges.count() <= small_graph_edges:
+        return _driver_cc(edges.to_pandas())
 
-    sym = edges_ds.map_batches(to_sym, batch_format="pandas").materialize()
+    prev = None
+    for _ in range(max_iter):
+        edges = _large_star(edges, num_buckets)
+        edges = _dedup_edges(_small_star(edges, num_buckets), num_buckets).materialize()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
 
-    if sym.count() <= 2 * small_graph_edges:  # sym holds both directions
-        small = sym.to_pandas()  # already materialized; no recompute
-        return _driver_cc(small.rename(columns={"node": "src", "nbr": "dst"}))
+    # at the fixed point every edge is (member, component-min); labels =
+    # min dst per src, plus the roots labeling themselves
+    def to_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame({"node": batch["src"], "label": batch["dst"]}),
+                pd.DataFrame({"node": batch["dst"], "label": batch["dst"]}),
+            ],
+            ignore_index=True,
+        )
 
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", as_index=False)["label"].min()
@@ -102,39 +199,7 @@ def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,
         out["label"] = out["label"].astype("int64")
         return out
 
-    # seed: label(v) = min(v, neighbors(v))
-    def seed(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.concat(
-            [
-                pd.DataFrame({"node": batch["node"], "label": batch["nbr"]}),
-                pd.DataFrame({"node": batch["node"], "label": batch["node"]}),
-            ],
-            ignore_index=True,
-        )
-
-    labels = hash_aggregate(
-        sym.map_batches(seed, batch_format="pandas"), ["node"], min_label,
+    return hash_aggregate(
+        edges.map_batches(to_labels, batch_format="pandas"), ["node"], min_label,
         num_buckets=num_buckets,
-    ).materialize()
-
-    prev = _label_sum(labels)
-    for _ in range(max_iter):
-        # offer: each node sends its current label to every neighbor
-        joined = partitioned_join(sym, labels, ["node"], num_buckets=num_buckets)
-
-        def offers(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "node": batch["nbr"].astype("int64"),
-                    "label": batch["label"].astype("int64"),
-                }
-            )
-
-        candidates = joined.map_batches(offers, batch_format="pandas").union(labels)
-        labels = hash_aggregate(candidates, ["node"], min_label,
-                                num_buckets=num_buckets).materialize()
-        cur = _label_sum(labels)
-        if cur == prev:
-            break
-        prev = cur
-    return labels
+    )

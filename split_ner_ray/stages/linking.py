@@ -248,10 +248,21 @@ class IdAssigner:
             keys = ets.str.cat(surfs, sep=sep)
             d = pd.DataFrame({"et": ets, "surf": surfs, "key": keys}).drop_duplicates("key")
             d_norm = rules.normalize_series(d["surf"])
-            lut = {
-                k: self.eid.get((et, norm)) or rules.entity_id(et, norm)
-                for k, et, norm in zip(d["key"], d["et"], d_norm)
-            }
+            lut = {}
+            for k, et, norm in zip(d["key"], d["et"], d_norm):
+                eid = self.eid.get((et, norm))
+                if eid is None:
+                    # inline ids are for NON-linkable keys only: a linkable
+                    # key missing from the canon map means the occ/canon
+                    # coverage broke — computing a fresh id here would
+                    # silently split one entity into two, so fail loudly.
+                    if et in rules.LINKABLE_ETYPES:
+                        raise KeyError(
+                            f"linkable key ({et!r}, {norm!r}) missing from the "
+                            "canon map — occ/canon coverage bug"
+                        )
+                    eid = rules.entity_id(et, norm)
+                lut[k] = eid
             out_cols.append(keys.map(lut))
         return batch.append_column(
             "subj_id", pa.array(out_cols[0].tolist(), pa.string())
