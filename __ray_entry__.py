@@ -38,6 +38,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from split_ner_ray.queries import QUERIES
+    from split_ner_ray.queries import oracle_sql_catalog
 
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    return oracle_sql_catalog()

@@ -1145,3 +1145,236 @@ GROUP BY n_name ORDER BY n_name
 """
 
 QUERIES.update({"supplier_stats_by_nation": (supplier_stats_by_nation, SUPPLIER_STATS_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# round 3: SQL-checkable coverage for the verify/IVF/outer-join/min-max
+# operator families + the flagship transcripts input table
+# ---------------------------------------------------------------------------
+
+def doc_jaccard_sampled_pairs(sf_dir: str):
+    """Exact n-gram Jaccard between every pair of hash-sampled documents —
+    the SQL-green oracle for the verify_jaccard_pairs operator (the same
+    partitioned-join + fused-verify path the MinHash pipeline uses at
+    scale, here fed an exhaustive candidate set over the ~1/16 sample).
+    Integer (jac_num, jac_den) columns make the hash comparison exact."""
+    import hashlib
+
+    from .stages.dedup import verify_jaccard_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = [
+            hashlib.md5(str(int(d)).encode()).hexdigest().startswith("0")
+            for d in batch["doc_id"]
+        ]
+        return batch[pd.Series(m, index=batch.index)]
+
+    sampled = ds.map_batches(keep, batch_format="pandas")
+    # the sampled id list is a handful of rows (~1/16 of doc ids — the
+    # standard small-side driver collect, like ANN's query vectors)
+    ids = sorted(r["doc_id"] for r in sampled.select_columns(["doc_id"]).take_all())
+    pairs = pd.DataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        columns=["src", "dst"],
+    )
+    out = verify_jaccard_pairs(
+        rd.from_pandas(pairs), sampled, threshold=0.0
+    ).to_pandas()
+    out = out[["src", "dst", "jac_num", "jac_den"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+JACCARD_PAIRS_SQL = """
+WITH s AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+), tok AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t, '\\s+') END AS w
+  FROM s
+), sh AS (
+  SELECT doc_id, CASE
+      WHEN len(w) = 0 THEN []::VARCHAR[]
+      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+    END AS sset
+  FROM tok
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS jac_num,
+       CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS BIGINT) AS jac_den
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY src, dst
+"""
+
+
+def ann_ivf_exhaustive(sf_dir: str):
+    """IVF ANN with nprobe == num_centroids: every inverted list is probed,
+    so the result is EXACTLY the brute-force top-k — which makes the whole
+    IVF machinery (k-means training, bucket shuffle, per-bucket scoring,
+    tie-safe partials, per-query reduce) SQL-hash-checkable against the
+    same DuckDB oracle as brute force."""
+    from .stages.ann import ivf_topk, load_queries
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qids, qmat = load_queries(emb, ANN_QUERY_IDS)
+    df = ivf_topk(emb, qids, qmat, k=5, num_centroids=8, nprobe=8).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER partitioned join coverage: every customer with their
+    order count, INCLUDING zero-order customers (the rows an inner join
+    drops). Orders are pre-aggregated per custkey before the join, so the
+    join's right side is distinct-key sized."""
+    from .stages.relational import hash_aggregate, partitioned_join
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def cast_c(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": b["c_custkey"].astype("int64")})
+
+    cust = cust.map_batches(cast_c, batch_format="pandas")
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {"c_custkey": g["o_custkey"].astype("int64"), "n": g["size"].astype("int64")}
+        )
+
+    counts = hash_aggregate(
+        orders.map_batches(pre, batch_format="pandas"),
+        ["c_custkey"],
+        lambda g: g.groupby("c_custkey", as_index=False)["n"].sum(),
+    )
+    joined = partitioned_join(cust, counts, ["c_custkey"], how="left").to_pandas()
+    out = pd.DataFrame(
+        {
+            "c_custkey": joined["c_custkey"].astype("int64"),
+            "n_orders": joined["n"].fillna(0).astype("int64"),
+        }
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMER_ORDERS_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def events_value_stats(sf_dir: str):
+    """Min/Max/Sum aggregate kernels per event type (cents-exact)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Min("value", alias_name="vmin"),
+        Max("value", alias_name="vmax"),
+        Sum("value", alias_name="vsum"),
+        Count(alias_name="n"),
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "min_value_c": [_cents(v) for v in df["vmin"]],
+            "max_value_c": [_cents(v) for v in df["vmax"]],
+            "sum_value_c": [_cents(v) for v in df["vsum"]],
+            "n": df["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_SQL = """
+SELECT event_type,
+       CAST(ROUND(100*MIN(value)) AS BIGINT) AS min_value_c,
+       CAST(ROUND(100*MAX(value)) AS BIGINT) AS max_value_c,
+       CAST(ROUND(100*SUM(value)) AS BIGINT) AS sum_value_c,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def transcripts_tool_stats(sf_dir: str):
+    """Flagship INPUT table through the engine: per-tool turn and
+    conversation counts over the synthetic transcripts (SQL oracle reads
+    the same parquet directly — the first hash-green check on the
+    transcripts corpus itself)."""
+    from .stages.relational import hash_aggregate
+
+    ds = _transcripts_ds(sf_dir)
+
+    def pre(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"tool": b.column("tool").to_pandas(), "conv_id": b.column("conv_id").to_pandas()}
+        )
+        df = df[df["tool"] != ""]
+        return df
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tool", as_index=False).agg(
+            n_turns=("conv_id", "size"), n_convs=("conv_id", "nunique")
+        )
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    df = hash_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["tool"], agg
+    ).to_pandas()
+    return df.sort_values("tool").reset_index(drop=True)
+
+
+def _transcripts_sql(template: str) -> str:
+    """Fill a SQL template with the sf0.01 transcripts parquet glob (the
+    driver compares at sf=0.01; the path is the deterministic synth cache,
+    materialized on demand when the catalog is read)."""
+    from .synth import transcripts_path
+
+    path = transcripts_path("/root/testdata/sf0.01")
+    return template.format(glob=os.path.join(path, "*.parquet"))
+
+
+TRANSCRIPTS_TOOL_SQL_TEMPLATE = """
+SELECT tool, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
+FROM read_parquet('{glob}')
+WHERE tool <> '' GROUP BY tool ORDER BY tool
+"""
+
+
+QUERIES.update(
+    {
+        "doc_jaccard_sampled_pairs": (doc_jaccard_sampled_pairs, JACCARD_PAIRS_SQL),
+        "ann_ivf_exhaustive": (ann_ivf_exhaustive, ANN_SQL),
+        "customer_order_counts": (customer_order_counts, CUSTOMER_ORDERS_SQL),
+        "events_value_stats": (events_value_stats, EVENTS_VALUE_SQL),
+        "transcripts_tool_stats": (
+            transcripts_tool_stats,
+            TRANSCRIPTS_TOOL_SQL_TEMPLATE,
+        ),
+    }
+)
+
+
+def oracle_sql_catalog() -> dict[str, str]:
+    """The driver-facing oracle-SQL dict: templates referencing the
+    synthetic transcripts parquet are resolved (and the corpus
+    materialized) here, at catalog-read time, never at import."""
+    out = {}
+    for name, (_fn, sql) in QUERIES.items():
+        if sql is None:
+            continue
+        out[name] = _transcripts_sql(sql) if "{glob}" in sql else sql
+    return out

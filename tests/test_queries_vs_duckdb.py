@@ -45,6 +45,9 @@ SQL_BACKED = [
     "doc_stats_by_lang", "part_topk_per_brand", "events_type_users",
     "doc_hash_sample", "doc_mined_op_contexts", "dedup_cosine_docs",
     "supplier_stats_by_nation",
+    # round 3
+    "doc_jaccard_sampled_pairs", "ann_ivf_exhaustive",
+    "customer_order_counts", "events_value_stats",
 ]
 
 
@@ -84,6 +87,34 @@ def test_rows_only_queries_run(catalog, name):
         assert out.iloc[0]["micro_f1_pct"] == 10000
     if name.startswith("kg_"):
         assert len(out) > 0
+
+
+def test_transcripts_tool_stats_matches_sql(catalog, con):
+    """The transcripts-table query vs its read_parquet SQL template,
+    resolved against the local sf (the driver resolves sf0.01 via
+    oracle_sql_catalog)."""
+    import os
+
+    from split_ner_ray.queries import TRANSCRIPTS_TOOL_SQL_TEMPLATE
+    from split_ner_ray.synth import transcripts_path
+
+    fn, sql = catalog["transcripts_tool_stats"]
+    assert "{glob}" in sql
+    got = _norm(pd.DataFrame(fn(SF_DIR)))
+    glob = os.path.join(transcripts_path(SF_DIR), "*.parquet")
+    want = _norm(con.sql(TRANSCRIPTS_TOOL_SQL_TEMPLATE.format(glob=glob)).df())
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist()
+
+
+def test_oracle_sql_catalog_resolves_templates(ray_session):
+    from split_ner_ray.queries import oracle_sql_catalog
+
+    cat = oracle_sql_catalog()
+    assert "{glob}" not in cat["transcripts_tool_stats"]
+    assert "read_parquet" in cat["transcripts_tool_stats"]
+    assert "sf0.01" in cat["transcripts_tool_stats"]
 
 
 def test_entry_smoke(ray_session):
