@@ -12,7 +12,14 @@ same canonical 4-column TSV the R1 reader consumes:
   (the .bio layout of the MIT movie/restaurant corpora);
 - atis  == read_atis_data (general.py:415-426): one line per sentence,
   "token sent<TAB>tag sent", both wrapped in BOS/EOS markers that are
-  stripped ([1:-1]).
+  stripped ([1:-1]);
+- conllpp == read_conllpp_data (general.py:533-543): space-separated
+  4 columns with '-X-' POS placeholder -> 'O';
+- onto2012 == read_onto_data + process_onto_entity_spans
+  (general.py:434-478): CoNLL-2012 gold_conll with parenthesized NE
+  span markers in column 10 -> BIO;
+- onto_final == read_onto_final_data (general.py:560-576): parallel
+  .words/.ner files with per-sentence length assertions.
 
 POS/dep columns are written empty — the reference fills them with a spaCy
 pass (add_pos_dep_features, general.py:325-345), which is out of sandbox
@@ -79,6 +86,102 @@ def parse_atis(path: str) -> list[Sent]:
     return out
 
 
+SentP = tuple[list[str], list[str], list[str]]  # (tokens, pos, tags)
+
+
+def parse_conllpp(path: str) -> list[SentP]:
+    """CoNLL++ raw file -> sentences (read_conllpp_data,
+    general.py:533-543): space-separated 4 columns, token=col0,
+    pos=col1 with the '-X-' placeholder rewritten to 'O', tag=col3."""
+    out = []
+    for block in read_raw_blocks(path, sep=" "):
+        toks = [t[0] for t in block]
+        pos = ["O" if t[1] == "-X-" else t[1] for t in block]
+        tags = [t[3] for t in block]
+        out.append((toks, pos, tags))
+    return out
+
+
+def _onto_spans_to_bio(tags: list[str]) -> list[str]:
+    """CoNLL-2012 NE column -> BIO (process_onto_entity_spans,
+    general.py:464-478): '(' opens a span whose type is the cell minus its
+    first and last char (covers both '(PERSON)' and '(ORG*'), ')' closes
+    the most recently opened span; everything else is filler. The
+    reference's span list is processed in order with partial overwrites
+    exactly as its two write loops do."""
+    spans: list[list] = []  # [tag, start, end]
+    for i, cell in enumerate(tags):
+        if cell.startswith("("):
+            spans.append([cell[1:-1], i, i])
+        if cell.endswith(")"):
+            spans[-1][2] = i
+    bio = ["O"] * len(tags)
+    for tag, start, end in spans:
+        bio[start] = f"B-{tag}"
+        for i in range(start + 1, end + 1):
+            bio[i] = f"I-{tag}"
+    return bio
+
+
+def parse_onto_conll2012(path: str) -> list[SentP]:
+    """OntoNotes CoNLL-2012 gold_conll file -> BIO sentences
+    (read_onto_data, general.py:434-461 + process_onto_entity_spans):
+    '#begin/#end document' lines skipped, blank or <11-field lines are
+    sentence boundaries, text=col3, pos=col4, NE=col10."""
+    out: list[SentP] = []
+    toks: list[str] = []
+    pos: list[str] = []
+    ne: list[str] = []
+
+    def flush():
+        if toks:
+            out.append((toks.copy(), pos.copy(), _onto_spans_to_bio(ne)))
+            toks.clear(), pos.clear(), ne.clear()
+
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("#begin document") or line.startswith("#end document"):
+                continue
+            s = line.split()
+            if not line or len(s) < 11:
+                flush()
+                continue
+            toks.append(s[3])
+            pos.append(s[4])
+            ne.append(s[10])
+    flush()
+    return out
+
+
+def parse_onto_final(words_path: str, labels_path: str) -> list[Sent]:
+    """Parallel .words/.ner files -> sentences (read_onto_final_data,
+    general.py:560-576), with the reference's per-sentence length
+    assertion."""
+    with open(words_path, "r", encoding="utf-8") as f:
+        text = [line.split() for line in f]
+    with open(labels_path, "r", encoding="utf-8") as f:
+        labels = [line.split() for line in f]
+    out = []
+    for i, (toks, tags) in enumerate(zip(text, labels)):
+        assert len(toks) == len(tags), (
+            f"Error parsing sent: {i} (text: {len(toks)}, labels: {len(tags)})"
+        )
+        out.append((toks, tags))
+    return out
+
+
+def write_sentences_tsv_pos(sentences: list[SentP], out_path: str) -> int:
+    """(tokens, pos, tags) sentences -> canonical 4-col TSV with the POS
+    column filled (write_token_data shape, general.py:347-353)."""
+    with open(out_path, "w", encoding="utf-8") as f:
+        for toks, pos, tags in sentences:
+            for tok, p, tag in zip(toks, pos, tags):
+                f.write(f"{tok}\t{p}\t\t{tag}\n")
+            f.write("\n")
+    return len(sentences)
+
+
 PARSERS = {"wnut": parse_wnut, "mit": parse_mit, "atis": parse_atis}
 
 
@@ -88,12 +191,25 @@ def tag_vocab(sentences: list[Sent]) -> list[str]:
     return sorted({tag for _toks, tags in sentences for tag in tags})
 
 
-def convert_corpus_file(in_path: str, fmt: str, out_tsv: str) -> int:
+POS_PARSERS = {"conllpp": parse_conllpp, "onto2012": parse_onto_conll2012}
+
+
+def convert_corpus_file(
+    in_path: str, fmt: str, out_tsv: str, labels_path: str | None = None
+) -> int:
     """Raw corpus file -> canonical 4-col TSV for the R1 reader; returns
-    the sentence count."""
+    the sentence count. ``labels_path`` is required only for the
+    'onto_final' parallel words/ner layout."""
+    if fmt == "onto_final":
+        if labels_path is None:
+            raise ValueError("onto_final needs labels_path (.ner file)")
+        return write_sentences_tsv(parse_onto_final(in_path, labels_path), out_tsv)
+    if fmt in POS_PARSERS:
+        return write_sentences_tsv_pos(POS_PARSERS[fmt](in_path), out_tsv)
     try:
         parser = PARSERS[fmt]
     except KeyError:
-        raise ValueError(f"unknown corpus format {fmt!r}; known: {sorted(PARSERS)}")
+        known = sorted([*PARSERS, *POS_PARSERS, "onto_final"])
+        raise ValueError(f"unknown corpus format {fmt!r}; known: {known}")
     sentences = parser(in_path)
     return write_sentences_tsv(sentences, out_tsv)

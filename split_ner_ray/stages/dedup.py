@@ -8,14 +8,19 @@ cluster assignment. Every hash is seeded/deterministic (pandas' fixed-key
 siphash for strings + fixed FNV folds + fixed linear perms mod a Mersenne
 prime), so results are reproducible at any parallelism.
 
-Scale-critical layout decision (round 3): MinHash signatures live as Arrow
-``fixed_size_list(uint64, P)`` columns and shingle sets as sorted-unique
-``list(uint64)`` columns END TO END — through the candidate-verify
-partitioned joins they ride the shuffle as Arrow buffers and are viewed as
-numpy matrices per bucket. The previous representation (Python ``bytes`` /
-``list[str]`` inside pandas object columns) pickled per element through
-every join shuffle: measured 157 s for 9.8M pairs at 2.17M docs, the
-single biggest dedup cost.
+Scale-critical layout decisions (round 3): MinHash signatures live as
+Arrow ``fixed_size_list(uint64, P)`` columns and shingle sets as
+sorted-unique ``list(uint64)`` columns END TO END, viewed as numpy
+matrices wherever they are read. And candidate-pair verification never
+ships that payload through a shuffle at all: above the broadcast limit it
+is a SHARD-GATHER join (relational.build_shard_lookup) — the payload
+table is hash-sharded once into id-sorted object-store shards, and one
+streaming map over the (int-only) pair rows gathers the two payload rows
+per pair from worker-cached shards. The two earlier designs both failed
+at the 2.17M-doc stress: Python ``bytes`` in pandas object columns
+pickled per element through the join shuffles (157 s for 9.8M pairs),
+and Arrow-native payload joins still made the second sort shuffle a
+15.7 GB all-to-all (>14 min, 33 GB driver estimate).
 """
 
 from __future__ import annotations
@@ -283,8 +288,10 @@ def minhash_band_rows(sig_ds, *, num_perm: int = 64, bands: int = 16):
 # Signature tables below this row count are broadcast for candidate
 # verification (ray.put once, worker-cached — a normal broadcast-join
 # small-side decision, ~100 MB at the limit); above it the pairs are
-# verified by partitioned joins against the signature table — the 100 TB
-# path, where nothing corpus-shaped ever leaves the cluster.
+# verified by a shard-gather join against the hash-sharded signature
+# table — the 100 TB path: the signatures are never shuffled, each
+# cluster node pulls each shard at most once, and per-task memory is
+# bounded by the shards a pair batch actually touches.
 BROADCAST_SIGS_LIMIT = 200_000
 
 # Buckets larger than this emit STAR edges (bucket-minimum -> member)
@@ -307,14 +314,14 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
                                broadcast_sigs_limit: int = BROADCAST_SIGS_LIMIT,
                                bucket_pair_cap: int = BUCKET_PAIR_CAP):
     """groupby(band, band_hash) -> candidate pairs (src < dst), verified
-    against the signatures (broadcast under the limit, partitioned joins
+    against the signatures (broadcast under the limit, shard-gather join
     above), deduped.
 
     Verification = signature-estimated Jaccard >= threshold (the standard
     MinHash estimator); exact-Jaccard re-check is verify_jaccard_pairs.
-    Above the broadcast limit the two joins keep signatures as Arrow
-    fixed-width columns and verify on numpy views per bucket — no Python
-    bytes ever ride the shuffle."""
+    Above the broadcast limit the signature table is hash-sharded into
+    the object store once and each pair batch gathers its two signature
+    rows from worker-cached shards — signatures never ride a shuffle."""
     import ray
 
     from .relational import hash_aggregate
@@ -385,97 +392,61 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
         return hash_aggregate(verified, ["src", "dst"], dedup_pairs)
 
     pairs = hash_aggregate(pairs, ["src", "dst"], dedup_pairs)
-    return _verify_pairs_by_join(
+    return _verify_pairs_sharded(
         pairs, sig_ds, "sig",
         lambda a, b: (a == b).mean(axis=1) >= verify_threshold,
         matrix_of=_sig_matrix,
     )
 
 
-def _verify_pairs_by_join(pairs, payload_ds, payload_col, keep_fn, *,
+def _verify_pairs_sharded(pairs, payload_ds, payload_col, keep_fn, *,
                           matrix_of, extra_cols_fn=None):
-    """Shared join-verify shape: attach the payload column to src (join 1),
-    then to dst with the verdict computed INSIDE the second join's bucket
-    pass (join 2) — the doubly-joined payload never materializes, and the
-    payload rides both shuffles as native Arrow buffers.
+    """Shared verify shape for (src, dst) candidate pairs against a
+    payload table, as a SHARD-GATHER join: the payload is hash-sharded
+    once into id-sorted object-store shards (build_shard_lookup — the
+    payload is shuffled ZERO times), then ONE streaming map over the
+    pairs gathers both payload rows per pair from worker-cached shards
+    and applies the verdict. Replaces the former two-cogroup join, whose
+    second sort shuffle carried |pairs| x payload bytes (15.7 GB at the
+    2.17M-doc stress) and dominated the dedup run; pairs that reference
+    ids absent from the payload table are dropped (the old inner-join
+    semantics).
 
     ``payload_ds``: Arrow (id, payload_col); ``matrix_of``: Arrow column ->
     per-row numpy structure; ``keep_fn(a, b) -> bool mask``;
     ``extra_cols_fn(a, b, keep) -> dict of extra output columns``."""
-    from .relational import cogroup, match_indices, sides
+    from .relational import build_shard_lookup, gather_from_shards
 
-    def pairs_arrow(b: pd.DataFrame) -> pa.Table:
-        return pa.table(
-            {
-                "src": pa.array(b["src"].to_numpy(dtype=np.int64)),
-                "dst": pa.array(b["dst"].to_numpy(dtype=np.int64)),
-            }
-        )
+    shard_refs, num_shards = build_shard_lookup(payload_ds, "id", payload_col)
 
-    pairs_a = pairs.map_batches(pairs_arrow, batch_format="pandas")
+    def empty_out() -> pa.Table:
+        cols = {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        if extra_cols_fn is not None:
+            cols.update(extra_cols_fn(None, None, None))
+        return pa.table(cols)
 
-    def as_src(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"src": batch.column("id"), "p_s": batch.column(payload_col)}
-        )
-
-    def as_dst(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"dst": batch.column("id"), "p_d": batch.column(payload_col)}
-        )
-
-    def attach_src(group: pa.Table) -> pa.Table:
-        lt, rt = sides(group)
-        il, ir = match_indices(
-            lt.column("src").to_numpy(zero_copy_only=False),
-            rt.column("src").to_numpy(zero_copy_only=False),
-        )
-        return pa.table(
-            {
-                "src": lt.column("src").take(il),
-                "dst": lt.column("dst").take(il),
-                "p_s": rt.column("p_s").take(ir),
-            }
-        )
-
-    j1 = cogroup(
-        pairs_a,
-        payload_ds.map_batches(as_src, batch_format="pyarrow", zero_copy_batch=True),
-        ["src"],
-        attach_src,
-    )
-
-    def merge_verify(group: pa.Table) -> pa.Table:
-        lt, rt = sides(group)
-        il, ir = match_indices(
-            lt.column("dst").to_numpy(zero_copy_only=False),
-            rt.column("dst").to_numpy(zero_copy_only=False),
-        )
-        out_cols = {
-            "src": pa.array([], pa.int64()),
-            "dst": pa.array([], pa.int64()),
+    def verify(batch: pd.DataFrame) -> pa.Table:
+        if not len(batch):
+            return empty_out()
+        src = batch["src"].to_numpy(dtype=np.int64)
+        dst = batch["dst"].to_numpy(dtype=np.int64)
+        a_vals, ok_a = gather_from_shards(src, shard_refs, num_shards)
+        b_vals, ok_b = gather_from_shards(dst, shard_refs, num_shards)
+        both = ok_a & ok_b
+        if not both.any():
+            return empty_out()
+        a = matrix_of(a_vals.filter(pa.array(both[ok_a])))
+        b = matrix_of(b_vals.filter(pa.array(both[ok_b])))
+        keep = np.asarray(keep_fn(a, b))
+        cols = {
+            "src": pa.array(src[both][keep]),
+            "dst": pa.array(dst[both][keep]),
         }
         if extra_cols_fn is not None:
-            out_cols.update(extra_cols_fn(None, None, None))
-        if len(il):
-            a = matrix_of(lt.column("p_s").take(il))
-            b = matrix_of(rt.column("p_d").take(ir))
-            keep = np.asarray(keep_fn(a, b))
-            kept = il[keep]
-            out_cols = {
-                "src": lt.column("src").take(kept),
-                "dst": lt.column("dst").take(kept),
-            }
-            if extra_cols_fn is not None:
-                out_cols.update(extra_cols_fn(a, b, keep))
-        return pa.table(out_cols)
+            cols.update(extra_cols_fn(a, b, keep))
+        return pa.table(cols)
 
-    return cogroup(
-        j1,
-        payload_ds.map_batches(as_dst, batch_format="pyarrow", zero_copy_batch=True),
-        ["dst"],
-        merge_verify,
-    )
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -612,14 +583,14 @@ def _list_rows(col) -> list[np.ndarray]:
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", ngram: int = 3,
                          threshold: float = 0.7):
-    """Re-check candidate pairs with exact shingle Jaccard via partitioned
-    joins of pairs against per-doc shingle sets — fully distributed (the
-    inner joins drop every non-candidate doc's shingles inside the
-    shuffle; no driver-side candidate set, no broadcast). The verify runs
-    INSIDE the second join's bucket pass, so the doubly-joined shingle
-    payload never materializes; shingle sets travel as Arrow list<uint64>
-    buffers and the per-pair intersection is a sorted-array intersect.
-    Output adds integer jac_num/jac_den (SQL-exact) plus the float ratio."""
+    """Re-check candidate pairs with exact shingle Jaccard via a
+    shard-gather join of pairs against per-doc shingle sets — fully
+    distributed (no driver-side candidate set, no full-table broadcast:
+    the shingle sets are hash-sharded once into the object store and each
+    pair batch gathers exactly the rows it references from worker-cached
+    shards). Shingle sets stay Arrow list<uint64> buffers end to end and
+    the per-pair intersection is a sorted-array intersect. Output adds
+    integer jac_num/jac_den (SQL-exact) plus the float ratio."""
     sh_ds = shingle_sets(docs_ds, id_col=id_col, text_col=text_col, ngram=ngram)
 
     state: dict = {}
@@ -649,7 +620,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
             "jaccard": pa.array(state["jac"][keep]),
         }
 
-    return _verify_pairs_by_join(
+    return _verify_pairs_sharded(
         pairs_ds, sh_ds, "sh", keep_fn, matrix_of=_list_rows,
         extra_cols_fn=extra_cols,
     )

@@ -155,6 +155,85 @@ def test_corpus_parsers(tmp_path, fmt, raw, want):
     assert PARSERS[fmt](str(p)) == want
 
 
+CONLLPP_RAW = (
+    "EU NNP I-NP B-ORG\nrejects VBZ I-VP O\n\n"
+    "Peter -X- I-NP B-PER\nBlackburn NNP I-NP I-PER\n"
+)
+
+# CoNLL-2012 gold_conll layout: 11+ columns, NE column index 10 with
+# parenthesized span markers ('(GPE)' single-token, '(ORG*' ... '*)').
+ONTO2012_RAW = """#begin document (bc/cctv/00/cctv_0000); part 000
+bc/cctv 0 0 New NNP * - - - - (GPE* -
+bc/cctv 0 1 York NNP * - - - - *) -
+bc/cctv 0 2 is VBZ * - - - - * -
+bc/cctv 0 3 big JJ * - - - - * -
+
+bc/cctv 0 0 Disney NNP * - - - - (ORG) -
+bc/cctv 0 1 expanded VBD * - - - - * -
+#end document
+"""
+
+
+def test_parse_conllpp(tmp_path):
+    from split_ner_ray.sources.corpora import parse_conllpp
+
+    p = tmp_path / "conllpp_train.txt"
+    p.write_text(CONLLPP_RAW, encoding="utf-8")
+    assert parse_conllpp(str(p)) == [
+        (["EU", "rejects"], ["NNP", "VBZ"], ["B-ORG", "O"]),
+        (["Peter", "Blackburn"], ["O", "NNP"], ["B-PER", "I-PER"]),
+    ]
+
+
+def test_parse_onto_conll2012(tmp_path):
+    from split_ner_ray.sources.corpora import parse_onto_conll2012
+
+    p = tmp_path / "doc.v4_gold_conll"
+    p.write_text(ONTO2012_RAW, encoding="utf-8")
+    assert parse_onto_conll2012(str(p)) == [
+        (["New", "York", "is", "big"], ["NNP", "NNP", "VBZ", "JJ"],
+         ["B-GPE", "I-GPE", "O", "O"]),
+        (["Disney", "expanded"], ["NNP", "VBD"], ["B-ORG", "O"]),
+    ]
+
+
+def test_parse_onto_final_and_convert(tmp_path):
+    from split_ner_ray.sources.corpora import convert_corpus_file, parse_onto_final
+    from split_ner_ray.sources.tsv import read_tsv_corpus
+
+    (tmp_path / "train.words").write_text("a b c\nd e\n", encoding="utf-8")
+    (tmp_path / "train.ner").write_text("O B-X I-X\nB-Y O\n", encoding="utf-8")
+    got = parse_onto_final(str(tmp_path / "train.words"), str(tmp_path / "train.ner"))
+    assert got == [(["a", "b", "c"], ["O", "B-X", "I-X"]), (["d", "e"], ["B-Y", "O"])]
+
+    out = tmp_path / "train.tsv"
+    n = convert_corpus_file(
+        str(tmp_path / "train.words"), "onto_final", str(out),
+        labels_path=str(tmp_path / "train.ner"),
+    )
+    assert n == 2
+    tbl = read_tsv_corpus(str(out)).to_pandas().sort_values("sent_idx")
+    assert [list(t) for t in tbl["tags"]] == [["O", "B-X", "I-X"], ["B-Y", "O"]]
+
+    # length-mismatch raises like the reference's assertion
+    (tmp_path / "bad.ner").write_text("O\nB-Y O\n", encoding="utf-8")
+    with pytest.raises(AssertionError):
+        parse_onto_final(str(tmp_path / "train.words"), str(tmp_path / "bad.ner"))
+
+
+def test_pos_convert_keeps_pos_column(tmp_path):
+    from split_ner_ray.sources.corpora import convert_corpus_file
+    from split_ner_ray.sources.tsv import read_tsv_corpus
+
+    p = tmp_path / "conllpp_train.txt"
+    p.write_text(CONLLPP_RAW, encoding="utf-8")
+    out = tmp_path / "train.tsv"
+    assert convert_corpus_file(str(p), "conllpp", str(out)) == 2
+    tbl = read_tsv_corpus(str(out)).to_pandas().sort_values("sent_idx")
+    assert [list(t) for t in tbl["pos"]] == [["NNP", "VBZ"], ["O", "NNP"]]
+    assert [list(t) for t in tbl["tags"]] == [["B-ORG", "O"], ["B-PER", "I-PER"]]
+
+
 def test_corpus_convert_roundtrip_span_f1(rd, tmp_path):
     """WNUT fixture -> canonical TSV -> R1 reader -> identical token/tag
     streams (span-F1 1.0 by identity)."""
