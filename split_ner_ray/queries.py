@@ -1368,6 +1368,90 @@ QUERIES.update(
 )
 
 
+def events_last_order(sf_dir: str):
+    """As-of join coverage (a custom temporal operator Ray Data lacks):
+    each event matched to the user's most recent order at-or-before the
+    event timestamp; ties on the order date broken to the highest
+    orderkey, mirrored exactly by the SQL oracle's window."""
+    from .stages.relational import asof_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    df = asof_join(
+        ev, orders, left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate", tie_break="o_orderkey",
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "last_total_c": [_cents(v) for v in df["o_totalprice"]],
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_LAST_ORDER_SQL = """
+SELECT event_id, user_id, o_orderkey,
+       CAST(ROUND(100*o_totalprice) AS BIGINT) AS last_total_c
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def orders_events_7d(sf_dir: str):
+    """Range-join coverage (interval non-equi join, also absent from Ray
+    Data): per order, how many of that customer's events fall within 7
+    days from the order date — left semantics, so the (many) orders whose
+    custkey never appears in events are kept with count 0."""
+    from .stages.relational import range_join_count
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    df = range_join_count(
+        orders, ev, left_by="o_custkey", right_by="user_id",
+        left_lo="o_orderdate", right_on="ts",
+        hi_offset=np.timedelta64(7, "D"),
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "n_in_range": df["n_in_range"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_EVENTS_7D_SQL = """
+SELECT o.o_orderkey, COUNT(e.user_id) AS n_in_range
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""
+
+
+QUERIES.update(
+    {
+        "events_last_order": (events_last_order, EVENTS_LAST_ORDER_SQL),
+        "orders_events_7d": (orders_events_7d, ORDERS_EVENTS_7D_SQL),
+    }
+)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """The driver-facing oracle-SQL dict: templates referencing the
     synthetic transcripts parquet are resolved (and the corpus

@@ -236,6 +236,124 @@ def hash_aggregate(ds, keys: list[str], agg_fn, *, num_buckets: int = 64):
     )
 
 
+def asof_join(left_ds, right_ds, *, left_by: str, right_by: str, left_on: str,
+              right_on: str, tie_break: str | None = None, how: str = "inner",
+              num_buckets: int = 32):
+    """As-of join (Ray Data has no native one): each left row is matched
+    to the single right row with the greatest ``right_on`` <=
+    ``left_on`` within the same ``by`` key — the temporal lookup shape
+    ("state as of this event's timestamp").
+
+    Composition: one bucketed cogroup on the by-key co-locates each key's
+    rows, then a per-bucket ``pd.merge_asof`` (vectorized sorted-merge)
+    handles every key in the bucket at once — no per-key dispatch, and the
+    only shuffle is the same int-bucket exchange every other wide op here
+    uses. Partitioning assumption: a single by-key's rows fit one bucket
+    task (salt hot keys upstream if not).
+
+    Ties on equal ``right_on`` are broken toward the largest
+    ``tie_break`` column value, which makes the result deterministic and
+    lets an SQL oracle mirror it exactly (ORDER BY ts DESC, tie DESC
+    LIMIT 1). ``how='inner'`` drops unmatched left rows; ``'left'`` keeps
+    them with nulls."""
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+
+    def per_bucket(group: pa.Table) -> pd.DataFrame:
+        lt, rt = sides(group)
+        lg = lt.select(lcols).to_pandas()
+        rg = rt.select(rcols).to_pandas()
+        if not len(lg):
+            return pd.DataFrame(columns=lcols + [c for c in rcols if c not in lcols])
+        lg = lg.sort_values(left_on, kind="mergesort")
+        sort_r = [right_on] + ([tie_break] if tie_break else [])
+        rg = rg.sort_values(sort_r, kind="mergesort")
+        out = pd.merge_asof(
+            lg, rg, left_on=left_on, right_on=right_on,
+            left_by=left_by, right_by=right_by, direction="backward",
+            suffixes=("", "_r"),
+        )
+        if how == "inner":
+            out = out[out[right_on].notna()]
+        return out
+
+    # the cogroup joins on a synthetic shared key name so both sides
+    # bucketize identically despite different by-column names
+    def tag(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__by", batch.column(col).cast(pa.int64()))
+
+        return fn
+
+    left_t = left_ds.map_batches(tag(left_by), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    right_t = right_ds.map_batches(tag(right_by), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    return cogroup(left_t, right_t, ["__by"], per_bucket,
+                   num_buckets=num_buckets)
+
+
+def range_join_count(left_ds, right_ds, *, left_by: str, right_by: str,
+                     left_lo: str, right_on: str, hi_offset,
+                     count_as: str = "n_in_range", num_buckets: int = 32):
+    """Range (interval) join reduced to per-left-row counts: for each left
+    row, the number of same-key right rows with ``right_on`` in
+    ``[left_lo, left_lo + hi_offset)``. Ray Data has no non-equi join;
+    this is the bucketed-cogroup composition: co-locate by key, then one
+    vectorized double-searchsorted per bucket (sort right timestamps once
+    per key-bucket, count = upper_bound - lower_bound) — no pair
+    materialization, so a wide interval cannot explode the intermediate
+    the way the equivalent SQL range join does. Left rows with no match
+    count 0 (left-join semantics)."""
+    lcols = list(left_ds.schema().names)
+
+    def per_bucket(group: pa.Table) -> pd.DataFrame:
+        lt, rt = sides(group)
+        lg = lt.select(lcols + ["__by"]).to_pandas()
+        if not len(lg):
+            return pd.DataFrame(columns=lcols + [count_as])
+        rg = pd.DataFrame(
+            {
+                "k": rt.column("__by").to_numpy(zero_copy_only=False),
+                "t": rt.select([right_on]).to_pandas()[right_on],
+            }
+        ).sort_values(["k", "t"], kind="mergesort")
+        rk = rg["k"].to_numpy()
+        rtv = rg["t"].to_numpy()
+        lk = lg["__by"].to_numpy()
+        lo_t = lg[left_lo].to_numpy()
+        hi_t = lo_t + hi_offset
+        # count within [lo, hi) inside each key's segment of the sorted
+        # (k, t) right array: one pair of C searchsorteds per UNIQUE key
+        # covers all that key's probes at once (no per-row work)
+        counts = np.zeros(len(lg), dtype=np.int64)
+        for key in np.unique(lk):
+            a, b = np.searchsorted(rk, [key, key + 1], side="left")
+            probe = np.nonzero(lk == key)[0]
+            seg = rtv[a:b]
+            counts[probe] = (
+                np.searchsorted(seg, hi_t[probe], side="left")
+                - np.searchsorted(seg, lo_t[probe], side="left")
+            )
+        out = lg.drop(columns=["__by"])
+        out[count_as] = counts
+        return out
+
+    def tag(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__by", batch.column(col).cast(pa.int64()))
+
+        return fn
+
+    left_t = left_ds.map_batches(tag(left_by), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    right_t = right_ds.map_batches(tag(right_by), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return cogroup(left_t, right_t, ["__by"], per_bucket,
+                   num_buckets=num_buckets)
+
+
 # per-worker-process cache of resolved lookup shards (ref.hex -> (keys, values))
 _SHARD_CACHE: dict[str, tuple] = {}
 

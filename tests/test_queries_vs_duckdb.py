@@ -48,6 +48,7 @@ SQL_BACKED = [
     # round 3
     "doc_jaccard_sampled_pairs", "ann_ivf_exhaustive",
     "customer_order_counts", "events_value_stats",
+    "events_last_order", "orders_events_7d",
 ]
 
 

@@ -155,6 +155,58 @@ def test_corpus_parsers(tmp_path, fmt, raw, want):
     assert PARSERS[fmt](str(p)) == want
 
 
+# ---------------------------------------------------------------------------
+# temporal joins (relational.asof_join / range_join_count)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_backward_ties_and_inner(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.relational import asof_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"eid": [1, 2, 3], "k": [7, 7, 9], "t": [10, 25, 10]}
+    ))
+    # key 7: rows at t=5 (a=100), two TIED at t=20 (a=200, a=300);
+    # key 9 has no right rows at all -> eid 3 dropped (inner)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k2": [7, 7, 7], "rt": [5, 20, 20], "a": [100, 300, 200]}
+    ))
+    out = asof_join(
+        left, right, left_by="k", right_by="k2", left_on="t", right_on="rt",
+        tie_break="a",
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    assert out["eid"].tolist() == [1, 2]
+    assert out["a"].tolist() == [100, 300]  # tie at rt=20 -> larger a wins
+
+    out_l = asof_join(
+        left, right, left_by="k", right_by="k2", left_on="t", right_on="rt",
+        tie_break="a", how="left",
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    assert out_l["eid"].tolist() == [1, 2, 3]
+    assert pd.isna(out_l.loc[2, "a"])
+
+
+def test_range_join_count_bounds(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.relational import range_join_count
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"oid": [1, 2, 3], "k": [7, 7, 9], "lo": [10, 50, 0]}
+    ))
+    # key 7 events at 9 (before), 10 (inclusive lo), 14, 15 (exclusive hi),
+    # 40; key 9 has none -> count 0 kept (left semantics)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k2": [7, 7, 7, 7, 7], "t": [9, 10, 14, 15, 40]}
+    ))
+    out = range_join_count(
+        left, right, left_by="k", right_by="k2", left_lo="lo", right_on="t",
+        hi_offset=5,
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    assert out["n_in_range"].tolist() == [2, 0, 0]
+
+
 CONLLPP_RAW = (
     "EU NNP I-NP B-ORG\nrejects VBZ I-VP O\n\n"
     "Peter -X- I-NP B-PER\nBlackburn NNP I-NP I-PER\n"
