@@ -1444,10 +1444,77 @@ GROUP BY o.o_orderkey ORDER BY o.o_orderkey
 """
 
 
+def events_sliding_hour(sf_dir: str):
+    """Sliding-window aggregate coverage: 1-hour windows hopping every 15
+    minutes over the events stream — each event lands in exactly 4
+    windows; counts and cent-exact value sums per window start."""
+    from .stages.windows import sliding_window_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    df = sliding_window_agg(
+        ds, ts_col="ts", width_s=3600, slide_s=900, value_col="value"
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "ws_s": df["ws_s"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "sum_value_c": [_cents(v) for v in df["sum_v"]],
+        }
+    )
+    return out.sort_values("ws_s").reset_index(drop=True)
+
+
+EVENTS_SLIDING_SQL = """
+SELECT ws_s, COUNT(*) AS n,
+       CAST(ROUND(100*SUM(value)) AS BIGINT) AS sum_value_c
+FROM (
+  SELECT (epoch_us(e.ts)//1000000//900 - j.j)*900 AS ws_s, e.value
+  FROM events e CROSS JOIN (SELECT unnest(range(4)) AS j) j
+) GROUP BY ws_s ORDER BY ws_s
+"""
+
+
+def events_distinct_users_kmv(sf_dir: str):
+    """KMV distinct-count sketch in its exactness regime (distinct users
+    << k, so the sketch holds every hash and the count is exact — which
+    is what makes it SQL-hash-checkable; the estimator regime is covered
+    by pytest error-bound tests)."""
+    from .stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    n, exact = approx_distinct(ds, "user_id", k=65536)
+    return pd.DataFrame({"n_users": pd.array([n], dtype="int64"),
+                         "exact": pd.array([int(exact)], dtype="int64")})
+
+
+KMV_USERS_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users, 1 AS exact FROM events
+"""
+
+
+def events_type_freq_mg(sf_dir: str):
+    """Misra-Gries heavy hitters in the exactness regime (distinct event
+    types << capacity, no trim fires, counts exact)."""
+    from .stages.sketch import frequent_items
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    df = frequent_items(ds, "event_type", capacity=1024)
+    return pd.DataFrame({"item": df["item"], "n": df["count"].astype("int64")})
+
+
+MG_TYPES_SQL = """
+SELECT event_type AS item, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, item
+"""
+
+
 QUERIES.update(
     {
         "events_last_order": (events_last_order, EVENTS_LAST_ORDER_SQL),
         "orders_events_7d": (orders_events_7d, ORDERS_EVENTS_7D_SQL),
+        "events_sliding_hour": (events_sliding_hour, EVENTS_SLIDING_SQL),
+        "events_distinct_users_kmv": (events_distinct_users_kmv, KMV_USERS_SQL),
+        "events_type_freq_mg": (events_type_freq_mg, MG_TYPES_SQL),
     }
 )
 

@@ -1,4 +1,4 @@
-"""Event-time windows over ordered logs (tumbling + session).
+"""Event-time windows over ordered logs (tumbling + sliding + session).
 
 Ray Data has no native event-time windowing; per the engine design the
 input is treated as a partitioned log: window membership is a pure column
@@ -10,6 +10,7 @@ global row order is irrelevant (documented contract, SURVEY.md §2.9).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -23,6 +24,53 @@ def add_tumbling_window(ds, ts_col: str = "ts", period_s: int = 3600,
         return batch
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def sliding_window_agg(ds, *, ts_col: str = "ts", width_s: int = 3600,
+                       slide_s: int = 900, value_col: str | None = None):
+    """Sliding (hopping) event-time window aggregate: windows of
+    ``width_s`` starting at every epoch-aligned multiple of ``slide_s``;
+    emits per window (ws_s epoch-seconds, n, [sum_v]).
+
+    ``width_s`` must be a multiple of ``slide_s``, so every event belongs
+    to exactly ``width/slide`` windows — the expansion is a uniform numpy
+    repeat/tile, then a PER-BATCH partial aggregate collapses the m-times
+    blowup to at most the distinct windows the batch touches BEFORE the
+    shuffle; the final pass is one bucketed int-key hash aggregate."""
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    m = width_s // slide_s
+
+    from .relational import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        # unit-safe epoch seconds (parquet may arrive as datetime64[us],
+        # pandas literals as [ns] — an int64 view would be unit-dependent)
+        t_s = batch[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = t_s // slide_s * slide_s
+        ws = np.repeat(base, m) - np.tile(
+            np.arange(m, dtype=np.int64) * slide_s, n
+        )
+        cols = {"ws_s": ws}
+        if value_col is not None:
+            cols["__v"] = np.repeat(batch[value_col].to_numpy(), m)
+        df = pd.DataFrame(cols)
+        spec = {"n": ("ws_s", "size")}
+        if value_col is not None:
+            spec["sum_v"] = ("__v", "sum")
+        return df.groupby("ws_s", as_index=False).agg(**spec)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"n": ("n", "sum")}
+        if value_col is not None:
+            spec["sum_v"] = ("sum_v", "sum")
+        out = g.groupby("ws_s", as_index=False).agg(**spec)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return hash_aggregate(partials, ["ws_s"], final)
 
 
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",

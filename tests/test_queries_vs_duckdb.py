@@ -48,7 +48,8 @@ SQL_BACKED = [
     # round 3
     "doc_jaccard_sampled_pairs", "ann_ivf_exhaustive",
     "customer_order_counts", "events_value_stats",
-    "events_last_order", "orders_events_7d",
+    "events_last_order", "orders_events_7d", "events_sliding_hour",
+    "events_distinct_users_kmv", "events_type_freq_mg",
 ]
 
 

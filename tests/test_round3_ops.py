@@ -187,6 +187,75 @@ def test_asof_join_backward_ties_and_inner(rd):
     assert pd.isna(out_l.loc[2, "a"])
 
 
+def test_kmv_sketch_regimes(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.sketch import approx_distinct
+
+    # exactness regime: distinct < k
+    small = rd.from_pandas(pd.DataFrame({"v": [1, 2, 2, 3, 3, 3]}))
+    n, exact = approx_distinct(small, "v", k=64)
+    assert (n, exact) == (3, True)
+
+    # estimator regime: 50k distinct, k=256 -> error ~1/sqrt(254)
+    big = rd.from_pandas(pd.DataFrame({"v": np.arange(50_000) % 37_117}))
+    n, exact = approx_distinct(big, "v", k=256)
+    assert not exact
+    assert abs(n - 37_117) / 37_117 < 0.25
+    # deterministic: same input -> same estimate
+    n2, _ = approx_distinct(big, "v", k=256)
+    assert n2 == n
+
+
+def test_misra_gries_regimes(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.sketch import frequent_items
+
+    # exactness regime
+    small = rd.from_pandas(pd.DataFrame({"v": ["a"] * 5 + ["b"] * 3 + ["c"]}))
+    out = frequent_items(small, "v", capacity=16)
+    assert out["item"].tolist() == ["a", "b", "c"]
+    assert out["count"].tolist() == [5, 3, 1]
+
+    # estimator regime: zipf-ish tail, capacity 4; MG may UNDER-count by
+    # at most n/(capacity+1) and never over-counts
+    vals = ["hot"] * 3000 + [f"t{i}" for i in np.arange(6000) % 997]
+    big = rd.from_pandas(pd.DataFrame({"v": vals}))
+    out = frequent_items(big, "v", capacity=4)
+    assert len(out) <= 4
+    got = dict(zip(out["item"], out["count"]))
+    assert "hot" in got
+    n = len(vals)
+    assert 3000 - n / 5 <= got["hot"] <= 3000
+
+
+def test_sliding_window_agg(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.windows import sliding_window_agg
+
+    # events at epoch seconds 0, 100, 950 with width 1000, slide 500:
+    # t=0   -> windows 0, -500
+    # t=100 -> windows 0, -500
+    # t=950 -> windows 500, 0
+    ts = pd.to_datetime([0, 100, 950], unit="s")
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts, "value": [1.0, 2.0, 4.0]}))
+    out = (
+        sliding_window_agg(ds, ts_col="ts", width_s=1000, slide_s=500,
+                           value_col="value")
+        .to_pandas().sort_values("ws_s").reset_index(drop=True)
+    )
+    assert out["ws_s"].tolist() == [-500, 0, 500]
+    assert out["n"].tolist() == [2, 3, 1]
+    assert out["sum_v"].tolist() == [3.0, 7.0, 4.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_window_agg(ds, width_s=1000, slide_s=300)
+
+
 def test_range_join_count_bounds(rd):
     import pandas as pd
 
