@@ -1338,12 +1338,19 @@ def transcripts_tool_stats(sf_dir: str):
 
 
 def _transcripts_sql(template: str) -> str:
-    """Fill a SQL template with the sf0.01 transcripts parquet glob (the
-    driver compares at sf=0.01; the path is the deterministic synth cache,
-    materialized on demand when the catalog is read)."""
+    """Fill a SQL template with the transcripts parquet glob for the
+    scale factor the DRIVER compares at. The oracle_sql() contract is a
+    static SQL string with no sf_dir parameter, so the sf must be pinned
+    here: default sf0.01 (the documented driver compare scale),
+    overridable via GRAFT_ORACLE_SF_DIR for a harness comparing at a
+    different sf — if that env differs from the sf_dir the query fns are
+    called with, the hash compare is meaningless by construction. The
+    path is the deterministic synth cache, materialized on demand when
+    the catalog is read."""
     from .synth import transcripts_path
 
-    path = transcripts_path("/root/testdata/sf0.01")
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = transcripts_path(sf_dir)
     return template.format(glob=os.path.join(path, "*.parquet"))
 
 

@@ -383,10 +383,16 @@ def candidate_pairs_from_bands(band_rows, sig_ds, *, verify_threshold: float = 0
             if not len(batch):
                 return batch[["src", "dst"]]
             ids_s, m = _sig_lookup(ref)
-            i = np.searchsorted(ids_s, batch["src"].to_numpy(dtype=np.int64))
-            j = np.searchsorted(ids_s, batch["dst"].to_numpy(dtype=np.int64))
+            src = batch["src"].to_numpy(dtype=np.int64)
+            dst = batch["dst"].to_numpy(dtype=np.int64)
+            i = np.clip(np.searchsorted(ids_s, src), 0, len(ids_s) - 1)
+            j = np.clip(np.searchsorted(ids_s, dst), 0, len(ids_s) - 1)
+            # pairs referencing ids absent from the signature table are
+            # dropped (same inner semantics as the shard-gather path) —
+            # an unchecked gather would silently compare a wrong row
+            ok = (ids_s[i] == src) & (ids_s[j] == dst)
             est = (m[i] == m[j]).mean(axis=1)
-            return batch.loc[est >= verify_threshold, ["src", "dst"]]
+            return batch.loc[ok & (est >= verify_threshold), ["src", "dst"]]
 
         verified = pairs.map_batches(verify_b, batch_format="pandas")
         return hash_aggregate(verified, ["src", "dst"], dedup_pairs)

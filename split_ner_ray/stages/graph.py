@@ -153,14 +153,17 @@ def _edge_checksum(edges) -> tuple[int, int]:
 
     def part(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch[["src", "dst"]], index=False).to_numpy()
+        # partials stay full uint64 wraparound sums — masking per batch
+        # would discard carries and make the total depend on how Ray
+        # happened to split the blocks
         return pd.DataFrame(
-            {"n": [len(batch)], "h": [int(h.sum(dtype=np.uint64)) & ((1 << 63) - 1)]}
+            {"n": pd.array([len(batch)], dtype="int64"),
+             "h": pd.array([h.sum(dtype=np.uint64)], dtype="uint64")}
         )
 
     parts = edges.map_batches(part, batch_format="pandas").to_pandas()
-    return int(parts["n"].sum()), int(
-        np.int64(parts["h"].to_numpy(dtype=np.int64).sum(dtype=np.int64))
-    )
+    total = parts["h"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64)
+    return int(parts["n"].sum()), int(total)
 
 
 def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,
@@ -174,13 +177,23 @@ def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,
         return _driver_cc(edges.to_pandas())
 
     prev = None
+    converged = False
     for _ in range(max_iter):
         edges = _large_star(edges, num_buckets)
         edges = _dedup_edges(_small_star(edges, num_buckets), num_buckets).materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # star rounds converge in O(log n) iterations; running out of the
+        # budget means the fixed-point labels below would be silently
+        # wrong — fail loudly instead
+        raise RuntimeError(
+            f"connected_components: star rounds did not converge within "
+            f"{max_iter} iterations"
+        )
 
     # at the fixed point every edge is (member, component-min); labels =
     # min dst per src, plus the roots labeling themselves

@@ -42,8 +42,11 @@ def _normalize_keys(frame: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
             f = s.astype("float64")
-            i = f.astype("int64", errors="ignore")
-            out[c] = i if (i == f).all() else f
+            try:
+                i = f.astype("int64")
+                out[c] = i if (i == f).all() else f
+            except (ValueError, OverflowError, pd.errors.IntCastingNaNError):
+                out[c] = f
         else:
             out[c] = s.astype(object)
     return pd.DataFrame(out)
@@ -118,21 +121,6 @@ def sides(tbl: pa.Table) -> tuple[pa.Table, pa.Table]:
     return lt, rt
 
 
-def match_indices(l_keys: np.ndarray, r_keys: np.ndarray,
-                  how: str = "inner") -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized equi-join index computation: returns (il, ir) row-index
-    arrays such that l_keys[il] == r_keys[ir] (pandas C-speed hash join
-    under the hood). For how='left', unmatched left rows appear with
-    ir == -1."""
-    ml = pd.DataFrame({"k": l_keys, "il": np.arange(len(l_keys), dtype=np.int64)})
-    mr = pd.DataFrame({"k": r_keys, "ir": np.arange(len(r_keys), dtype=np.int64)})
-    m = ml.merge(mr, on="k", how="left" if how == "left" else "inner")
-    ir = m["ir"].to_numpy()
-    if how == "left":
-        ir = np.where(np.isnan(ir), -1, ir)
-    return m["il"].to_numpy().astype(np.int64), ir.astype(np.int64)
-
-
 def cogroup(left_ds, right_ds, on: list[str], per_bucket, *, num_buckets: int = 32):
     """Hash-partitioned co-group, Arrow end to end: both sides bucketized
     on hash(key) % B, ONE shuffle co-locates buckets, and ``per_bucket``
@@ -143,7 +131,14 @@ def cogroup(left_ds, right_ds, on: list[str], per_bucket, *, num_buckets: int = 
     buffers, never per-element pickles. This is the primitive behind
     partitioned_join and any join variant that fuses downstream work into
     the merge (verify-and-project, aggregate-after-join) so the joined
-    payload never materializes."""
+    payload never materializes.
+
+    Caveat: a side backed by PANDAS blocks types its missing-column
+    padding from the numpy dtype, and ``object`` maps to ``pa.string()``
+    — correct for string columns, wrong for object columns holding
+    lists/bytes. Feed Arrow-native datasets (or string/numeric pandas
+    columns) through cogroup; wide binary/list payloads belong in
+    build_shard_lookup, not in a join shuffle."""
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     lcols = list(l_schema.names)
@@ -268,14 +263,18 @@ def asof_join(left_ds, right_ds, *, left_by: str, right_by: str, left_on: str,
         lg = lg.sort_values(left_on, kind="mergesort")
         sort_r = [right_on] + ([tie_break] if tie_break else [])
         rg = rg.sort_values(sort_r, kind="mergesort")
+        # sentinel match indicator: filtering on right_on would silently
+        # test a LEFT column whenever right_on collides with a left
+        # column name (merge_asof suffixes the right copy away)
+        rg = rg.assign(__matched=np.int8(1))
         out = pd.merge_asof(
             lg, rg, left_on=left_on, right_on=right_on,
             left_by=left_by, right_by=right_by, direction="backward",
             suffixes=("", "_r"),
         )
         if how == "inner":
-            out = out[out[right_on].notna()]
-        return out
+            out = out[out["__matched"].notna()]
+        return out.drop(columns="__matched")
 
     # the cogroup joins on a synthetic shared key name so both sides
     # bucketize identically despite different by-column names
@@ -325,12 +324,21 @@ def range_join_count(left_ds, right_ds, *, left_by: str, right_by: str,
         lo_t = lg[left_lo].to_numpy()
         hi_t = lo_t + hi_offset
         # count within [lo, hi) inside each key's segment of the sorted
-        # (k, t) right array: one pair of C searchsorteds per UNIQUE key
-        # covers all that key's probes at once (no per-row work)
+        # (k, t) right array: probes are argsorted by key once, then each
+        # unique key's CONTIGUOUS probe run is served by one pair of C
+        # searchsorteds over its right segment — total work
+        # O(n log n + sum(seg)), no per-key full-array scans
         counts = np.zeros(len(lg), dtype=np.int64)
-        for key in np.unique(lk):
+        order = np.argsort(lk, kind="stable")
+        lk_s = lk[order]
+        run_starts = np.concatenate(
+            [[0], np.nonzero(lk_s[1:] != lk_s[:-1])[0] + 1, [len(lk_s)]]
+        )
+        for r in range(len(run_starts) - 1):
+            p, q = run_starts[r], run_starts[r + 1]
+            probe = order[p:q]
+            key = lk_s[p]
             a, b = np.searchsorted(rk, [key, key + 1], side="left")
-            probe = np.nonzero(lk == key)[0]
             seg = rtv[a:b]
             counts[probe] = (
                 np.searchsorted(seg, hi_t[probe], side="left")

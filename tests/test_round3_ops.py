@@ -187,6 +187,36 @@ def test_asof_join_backward_ties_and_inner(rd):
     assert pd.isna(out_l.loc[2, "a"])
 
 
+def test_edge_checksum_batching_independent(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.graph import _edge_checksum
+
+    df = pd.DataFrame({
+        "src": np.arange(2000, dtype=np.int64),
+        "dst": (np.arange(2000, dtype=np.int64) * 7919) % 2003,
+    })
+    one = _edge_checksum(rd.from_pandas(df))
+    many = _edge_checksum(rd.from_pandas(df).repartition(7))
+    assert one == many  # wraparound content hash, not batching-dependent
+
+
+def test_asof_join_same_ts_column_name(rd):
+    import pandas as pd
+
+    from split_ner_ray.stages.relational import asof_join
+
+    left = rd.from_pandas(pd.DataFrame({"eid": [1, 2], "k": [7, 9], "ts": [10, 10]}))
+    right = rd.from_pandas(pd.DataFrame({"k2": [7], "ts": [5], "a": [100]}))
+    out = asof_join(
+        left, right, left_by="k", right_by="k2", left_on="ts", right_on="ts",
+    ).to_pandas()
+    # right_on collides with a left column: inner must still drop the
+    # unmatched key-9 row instead of keeping it with NaN payload
+    assert out["eid"].tolist() == [1]
+    assert out["a"].tolist() == [100]
+
+
 def test_kmv_sketch_regimes(rd):
     import pandas as pd
 
