@@ -171,3 +171,55 @@ def build_graph(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAUL
         tri_cols["support"].append(e["support"])
     triples = pa.Table.from_pydict(tri_cols, schema=TRIPLES)
     return triples, nodes
+
+
+def materialized_kg_path(sf_dir: str, seed: int = 42) -> str:
+    """Materialize (once, cached) the serial-oracle KG over the synthetic
+    transcripts for ``sf_dir``; returns a directory holding
+    ``triples.parquet`` / ``nodes.parquet`` / ``mentions.parquet``.
+
+    This promotes the pytest parity oracle (FIXTURES.md F4) to a
+    driver-visible artifact: ``queries.oracle_sql_catalog`` points DuckDB at
+    these files, so the flagship KG outputs get full row-count + schema +
+    value-hash checks instead of rows-only. The oracle is an independent
+    single-process execution strategy — plain loops over an in-memory
+    table, no Ray — sharing only the rule core (rules.py) with the
+    pipeline, so the comparison exercises the distributed machinery
+    (reassembly shuffle, windowed pronoun carry, linking blocks,
+    distributed canonicalization, triple dedup) end to end.
+
+    Cache key matches synth.transcripts_path: (sf, n_convs, seed), atomic
+    rename commit, safe under concurrent callers.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .synth import n_convs_for_sf, sf_of_dir, transcripts_path
+
+    sf = sf_of_dir(sf_dir)
+    n_convs = n_convs_for_sf(sf)
+    out = f"/tmp/graft_oracle_kg/sf{sf}_n{n_convs}_seed{seed}"
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    src = transcripts_path(sf_dir, seed=seed)
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(_glob.glob(os.path.join(src, "*.parquet")))]
+    )
+    mentions = extract_mentions(tbl)
+    triples, nodes = build_graph(tbl)
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(triples, os.path.join(tmp, "triples.parquet"))
+    pq.write_table(nodes, os.path.join(tmp, "nodes.parquet"))
+    pq.write_table(mentions, os.path.join(tmp, "mentions.parquet"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass  # concurrent caller won the race; its output is identical
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

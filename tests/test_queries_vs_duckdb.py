@@ -71,9 +71,41 @@ def test_query_matches_oracle(catalog, con, name):
 
 ROWS_ONLY = [
     "ann_ivf_cosine", "dedup_minhash_docs", "dedup_simhash_docs",
-    "doc_fingerprints", "kg_triples", "kg_nodes", "kg_mentions",
-    "kg_parity_metrics", "kg_span_f1", "mention_embeddings",
+    "doc_fingerprints", "kg_parity_metrics", "kg_span_f1",
+    "mention_embeddings",
 ]
+
+KG_SQL_BACKED = [
+    "kg_triples", "kg_nodes", "kg_mentions",
+    "kg_triples_by_pred", "kg_nodes_by_etype",
+]
+
+
+@pytest.mark.parametrize("name", KG_SQL_BACKED)
+def test_kg_query_matches_materialized_oracle(catalog, con, name):
+    """The flagship KG entries vs DuckDB over the MATERIALIZED serial
+    oracle (oracle.materialized_kg_path) — the exact compare the driver
+    runs after oracle_sql_catalog resolves the {triples}/{nodes}/{mentions}
+    placeholders, here at sf0.001 for speed."""
+    import os
+
+    from split_ner_ray.oracle import materialized_kg_path
+
+    fn, sql = catalog[name]
+    assert sql is not None
+    d = materialized_kg_path(SF_DIR)
+    resolved = sql.format(
+        triples=os.path.join(d, "triples.parquet"),
+        nodes=os.path.join(d, "nodes.parquet"),
+        mentions=os.path.join(d, "mentions.parquet"),
+    )
+    got = _norm(pd.DataFrame(fn(SF_DIR)))
+    want = _norm(con.sql(resolved).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        assert str(got[c].dtype) == str(want[c].dtype), (c, got[c].dtype, want[c].dtype)
+        assert got[c].tolist() == want[c].tolist(), f"column {c} differs"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
