@@ -1,0 +1,206 @@
+"""Single-process oracles for the documents-table dedup/fingerprint ops.
+
+Companion to oracle.py (the KG parity oracle, SURVEY.md §5): plain serial
+programs — dict grouping, union-find, per-doc loops, no Ray — that share
+only the kernel definitions (MinHasher, simhash64, band folds, tokens_ws)
+with the distributed stages. The comparison therefore exercises the
+distributed machinery those stages are built on: the band-explode
+map_batches, the hash_aggregate bucket shuffles, the broadcast /
+shard-gather signature verification, and connected components.
+
+``materialized_docs_path`` caches the oracle outputs as parquet so
+``queries.oracle_sql_catalog`` can point DuckDB at them — turning
+dedup_minhash_docs / dedup_simhash_docs / doc_fingerprints from rows-only
+driver checks into full row-count + schema + value-hash entries
+(VERDICT r2 "what's missing" #5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .stages.dedup import BUCKET_PAIR_CAP, MinHasher, _band_hashes, simhash64
+from .stages.text import tokens_ws
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent[p]
+            x = p
+            p = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # root at the smaller id so labels are min-of-component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def _bucket_pairs(bucket_ids: list[int], cap: int = BUCKET_PAIR_CAP):
+    """Candidate pairs for one LSH bucket under the engine's bucket
+    semantics: all pairs below the cap, star-to-minimum above it
+    (stages/dedup.candidate_pairs_from_bands)."""
+    ids = sorted(set(bucket_ids))
+    if len(ids) <= 1:
+        return
+    if len(ids) > cap:
+        m = ids[0]
+        for i in ids[1:]:
+            yield (m, i)
+    else:
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                yield (ids[x], ids[y])
+
+
+def serial_minhash_clusters(
+    doc_ids: list[int],
+    texts: list[str],
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    verify_threshold: float = 0.7,
+) -> "pa.Table":
+    """MinHash-LSH near-dup clusters, serially: signatures -> dict banding
+    -> capped bucket pairs -> estimated-Jaccard verify -> union-find.
+    Returns (node:int64, label:int64), label = min doc id of component —
+    the exact contract of stages.dedup.minhash_clusters."""
+    mh = MinHasher(num_perm, ngram, seed)
+    sig = mh.signature_batch(list(texts))  # (D, P) uint64
+    bh = _band_hashes(sig, bands)  # (D, bands) int64
+    idx_of = {int(d): i for i, d in enumerate(doc_ids)}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, d in enumerate(doc_ids):
+        for b in range(bands):
+            buckets[(b, int(bh[i, b]))].append(int(d))
+    seen: set[tuple[int, int]] = set()
+    uf = _UnionFind()
+    nodes: set[int] = set()
+    for key in sorted(buckets):
+        for a, bid in _bucket_pairs(buckets[key]):
+            if (a, bid) in seen:
+                continue
+            seen.add((a, bid))
+            est = float(np.mean(sig[idx_of[a]] == sig[idx_of[bid]]))
+            if est >= verify_threshold:
+                uf.union(a, bid)
+                nodes.add(a)
+                nodes.add(bid)
+    out_nodes = sorted(nodes)
+    labels = [uf.find(n) for n in out_nodes]
+    return pa.table(
+        {
+            "node": pa.array(out_nodes, type=pa.int64()),
+            "label": pa.array(labels, type=pa.int64()),
+        }
+    )
+
+
+def serial_simhash_pairs(
+    doc_ids: list[int], texts: list[str], *, max_hamming: int = 3
+) -> "pa.Table":
+    """SimHash near-dup pairs, serially: 4 x 16-bit pigeonhole banding with
+    the engine's bucket cap, hamming verify, (src < dst) dedup — the exact
+    contract of stages.dedup.simhash_dup_pairs."""
+    sims = {int(d): simhash64(t) for d, t in zip(doc_ids, texts)}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for d, s in sims.items():
+        for b in range(4):
+            buckets[(b, (s >> (16 * b)) & 0xFFFF)].append(d)
+    pairs: set[tuple[int, int]] = set()
+    for key in sorted(buckets):
+        ids = sorted(set(buckets[key]))
+        if len(ids) <= 1:
+            continue
+        if len(ids) > BUCKET_PAIR_CAP:
+            cand = [(ids[0], i) for i in ids[1:]]
+        else:
+            cand = [
+                (ids[x], ids[y])
+                for x in range(len(ids))
+                for y in range(x + 1, len(ids))
+            ]
+        for a, bid in cand:
+            ham = bin((sims[a] ^ sims[bid]) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                pairs.add((a, bid))
+    src_dst = sorted(pairs)
+    return pa.table(
+        {
+            "src": pa.array([p[0] for p in src_dst], type=pa.int64()),
+            "dst": pa.array([p[1] for p in src_dst], type=pa.int64()),
+        }
+    )
+
+
+def serial_fingerprints(doc_ids: list[int], texts: list[str], *, ngram: int = 3) -> "pa.Table":
+    """Order-insensitive XOR-of-shingle-hash fingerprints, per-doc serial —
+    the contract of stages.text.add_fingerprint."""
+    fps = []
+    for t in texts:
+        toks = tokens_ws(t)
+        fp = 0
+        for i in range(max(0, len(toks) - ngram + 1)):
+            sh = " ".join(toks[i : i + ngram])
+            fp ^= int.from_bytes(
+                hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big"
+            )
+        fps.append(fp - (1 << 63))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d) for d in doc_ids], type=pa.int64()),
+            "fingerprint": pa.array(fps, type=pa.int64()),
+        }
+    )
+
+
+def materialized_docs_path(sf_dir: str) -> str:
+    """Materialize (once, cached) the serial documents-table oracles for
+    ``sf_dir``; returns a directory holding ``minhash_clusters.parquet``
+    (verify_threshold=0.9, the dedup_minhash_docs setting),
+    ``simhash_pairs.parquet`` (max_hamming=3) and
+    ``fingerprints.parquet``. Atomic rename commit, safe under
+    concurrent callers."""
+    docs = os.path.join(sf_dir, "documents.parquet")
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_oracle_docs/{name}"
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tbl = pq.read_table(docs, columns=["doc_id", "text"])
+    ids = [int(x) for x in tbl.column("doc_id").to_pylist()]
+    texts = tbl.column("text").to_pylist()
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    clusters = serial_minhash_clusters(ids, texts, verify_threshold=0.9)
+    clusters = clusters.rename_columns(["doc_id", "cluster_rep"])
+    pq.write_table(clusters, os.path.join(tmp, "minhash_clusters.parquet"))
+    pq.write_table(
+        serial_simhash_pairs(ids, texts), os.path.join(tmp, "simhash_pairs.parquet")
+    )
+    pq.write_table(
+        serial_fingerprints(ids, texts), os.path.join(tmp, "fingerprints.parquet")
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass  # concurrent caller won the race; its output is identical
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

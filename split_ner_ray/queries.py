@@ -648,6 +648,27 @@ FROM read_parquet('{nodes}')
 GROUP BY etype
 """
 
+# SQL oracles for the documents-table dedup/fingerprint ops: DuckDB reads
+# the MATERIALIZED serial oracles (oracle_docs.materialized_docs_path —
+# plain union-find / dict-banding programs sharing only the hash kernels
+# with the stages; resolved by _oracle_docs_sql at catalog-read time).
+DEDUP_MINHASH_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep
+FROM read_parquet('{minhash}')
+"""
+
+DEDUP_SIMHASH_SQL = """
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+FROM read_parquet('{simhash}')
+"""
+
+DOC_FPS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(fingerprint AS BIGINT) AS fingerprint
+FROM read_parquet('{fps}')
+"""
+
 
 def kg_parity_metrics(sf_dir: str):
     """Self-check: distributed pipeline vs single-process oracle triple P/R
@@ -767,9 +788,11 @@ QUERIES = {
     # non-SQL-expressible ops -> rows-only driver check; strength comes from
     # pytest (recall vs brute force, cluster ground truth, oracle parity)
     "ann_ivf_cosine": (ann_ivf_cosine, None),
-    "dedup_minhash_docs": (dedup_minhash_docs, None),
-    "dedup_simhash_docs": (dedup_simhash_docs, None),
-    "doc_fingerprints": (doc_fingerprints, None),
+    # near-dup + fingerprint ops: full hash checks vs the materialized
+    # serial documents-table oracles (oracle_docs.py)
+    "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FPS_SQL),
     # flagship KG outputs: full hash checks vs the materialized serial
     # oracle (independent single-process execution, oracle.py)
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
@@ -1457,6 +1480,22 @@ def _oracle_kg_sql(template: str) -> str:
     )
 
 
+def _oracle_docs_sql(template: str) -> str:
+    """Fill a documents-oracle SQL template with the materialized serial
+    dedup/fingerprint oracle paths (oracle_docs.materialized_docs_path)
+    for the driver's compare sf — same sf-pinning contract as
+    _transcripts_sql (<1 s at sf0.01, cached)."""
+    from .oracle_docs import materialized_docs_path
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    d = materialized_docs_path(sf_dir)
+    return template.format(
+        minhash=os.path.join(d, "minhash_clusters.parquet"),
+        simhash=os.path.join(d, "simhash_pairs.parquet"),
+        fps=os.path.join(d, "fingerprints.parquet"),
+    )
+
+
 TRANSCRIPTS_TOOL_SQL_TEMPLATE = """
 SELECT tool, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
 FROM read_parquet('{glob}')
@@ -1641,6 +1680,8 @@ def oracle_sql_catalog() -> dict[str, str]:
             out[name] = _transcripts_sql(sql)
         elif "{triples}" in sql or "{nodes}" in sql or "{mentions}" in sql:
             out[name] = _oracle_kg_sql(sql)
+        elif "{minhash}" in sql or "{simhash}" in sql or "{fps}" in sql:
+            out[name] = _oracle_docs_sql(sql)
         else:
             out[name] = sql
     return out

@@ -70,10 +70,40 @@ def test_query_matches_oracle(catalog, con, name):
 
 
 ROWS_ONLY = [
-    "ann_ivf_cosine", "dedup_minhash_docs", "dedup_simhash_docs",
-    "doc_fingerprints", "kg_parity_metrics", "kg_span_f1",
+    "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1",
     "mention_embeddings",
 ]
+
+DOCS_SQL_BACKED = [
+    "dedup_minhash_docs", "dedup_simhash_docs", "doc_fingerprints",
+]
+
+
+@pytest.mark.parametrize("name", DOCS_SQL_BACKED)
+def test_docs_query_matches_materialized_oracle(catalog, con, name):
+    """Near-dup / fingerprint entries vs DuckDB over the MATERIALIZED
+    serial documents-table oracles (oracle_docs.materialized_docs_path) —
+    the compare the driver runs after oracle_sql_catalog resolves the
+    {minhash}/{simhash}/{fps} placeholders, here at sf0.001."""
+    import os
+
+    from split_ner_ray.oracle_docs import materialized_docs_path
+
+    fn, sql = catalog[name]
+    assert sql is not None
+    d = materialized_docs_path(SF_DIR)
+    resolved = sql.format(
+        minhash=os.path.join(d, "minhash_clusters.parquet"),
+        simhash=os.path.join(d, "simhash_pairs.parquet"),
+        fps=os.path.join(d, "fingerprints.parquet"),
+    )
+    got = _norm(pd.DataFrame(fn(SF_DIR)))
+    want = _norm(con.sql(resolved).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        assert str(got[c].dtype) == str(want[c].dtype), (c, got[c].dtype, want[c].dtype)
+        assert got[c].tolist() == want[c].tolist(), f"column {c} differs"
 
 KG_SQL_BACKED = [
     "kg_triples", "kg_nodes", "kg_mentions",
