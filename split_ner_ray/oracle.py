@@ -223,3 +223,116 @@ def materialized_kg_path(sf_dir: str, seed: int = 42) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return out
+
+
+def materialized_kg_aux_path(sf_dir: str, seed: int = 42) -> str:
+    """Materialize (once, cached) the serial oracles for the
+    transcripts-derived auxiliary ops: mined intrinsic pattern-tag
+    distributions, mined predicate-gap patterns, and distinct-mention
+    embedding norms. Same promotion as materialized_kg_path — plain
+    serial loops sharing only the kernels (_token_tags / make_pattern /
+    detect_typed_mentions / embed_surface) with the distributed stages,
+    so the hash compare exercises the partial-count map_batches, the
+    bucketed count aggregation and the distinct-surface groupby."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .functions.patterns import make_pattern
+    from .stages.embed import embed_surface
+    from .stages.mining import _token_tags
+    from .synth import n_convs_for_sf, sf_of_dir, transcripts_path
+
+    sf = sf_of_dir(sf_dir)
+    n_convs = n_convs_for_sf(sf)
+    out = f"/tmp/graft_oracle_kg_aux/sf{sf}_n{n_convs}_seed{seed}"
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    src = transcripts_path(sf_dir, seed=seed)
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+         for f in sorted(_glob.glob(os.path.join(src, "*.parquet")))]
+    )
+    texts = tbl.column("text").to_pylist()
+
+    # intrinsic pattern-tag distributions (stages/mining.py thresholds:
+    # support >= 10, share >= 10%, drop {O}-only)
+    c: Counter = Counter()
+    for text in texts:
+        toks, tags = _token_tags(text)
+        for t, g in zip(toks, tags):
+            c[(make_pattern(t, "0"), g)] += 1
+    idf = pd.DataFrame(
+        [(p, t, n) for (p, t), n in c.items()], columns=["pattern", "tag", "n"]
+    )
+    frames = []
+    for _p, sub in idf.groupby("pattern", sort=False):
+        d = int(sub["n"].sum())
+        if d < 10:
+            continue
+        keep = sub[sub["n"] / d >= 0.1].copy()
+        if len(keep) == 1 and keep["tag"].iloc[0] == "O":
+            continue
+        keep["share_pct"] = (keep["n"] * 100.0 / d).round(1)
+        frames.append(keep)
+    intr = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({"pattern": [], "tag": [], "n": [], "share_pct": []})
+    )
+    intr["n"] = intr["n"].astype("int64")
+
+    # predicate-gap mining (between-text of consecutive typed mentions,
+    # 1..4 gap tokens, support >= 2)
+    g: Counter = Counter()
+    for text in texts:
+        ms = sorted(rules.detect_typed_mentions(text), key=lambda m: m.start)
+        for a, b in zip(ms, ms[1:]):
+            gap = " ".join(text[a.end : b.start].split()).lower()
+            if gap and 1 <= len(gap.split()) <= 4:
+                g[(gap, a.etype, b.etype)] += 1
+    pred = pd.DataFrame(
+        [(k[0], k[1], k[2], n) for k, n in g.items() if n >= 2],
+        columns=["gap", "subj_etype", "obj_etype", "n"],
+    )
+    pred["n"] = pred["n"].astype("int64")
+
+    # distinct-mention embedding norms (S6 projection): distinct
+    # (surface, etype) over the serial mentions, norm of the shared
+    # deterministic hashed char-n-gram embedding
+    mtbl = extract_mentions(tbl)
+    seen = sorted(set(zip(mtbl.column("surface").to_pylist(),
+                          mtbl.column("etype").to_pylist())))
+    import numpy as np
+
+    norms = pd.DataFrame(
+        {
+            "surface": [s for s, _e in seen],
+            "etype": [e for _s, e in seen],
+            "norm_mille": [
+                int(round(1000 * float(np.linalg.norm(embed_surface(s)))))
+                for s, _e in seen
+            ],
+        }
+    )
+    norms["norm_mille"] = norms["norm_mille"].astype("int64")
+
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(intr, preserve_index=False),
+                   os.path.join(tmp, "intrinsic_patterns.parquet"))
+    pq.write_table(pa.Table.from_pandas(pred, preserve_index=False),
+                   os.path.join(tmp, "pred_patterns.parquet"))
+    pq.write_table(pa.Table.from_pandas(norms, preserve_index=False),
+                   os.path.join(tmp, "mention_norms.parquet"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass  # concurrent caller won the race; its output is identical
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

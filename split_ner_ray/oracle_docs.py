@@ -169,16 +169,73 @@ def serial_fingerprints(doc_ids: list[int], texts: list[str], *, ngram: int = 3)
     )
 
 
+def serial_cosine_lsh_pairs(
+    vec_ids: list[int],
+    vecs: np.ndarray,
+    *,
+    threshold: float,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 11,
+) -> "pa.Table":
+    """Hyperplane-LSH cosine near-dup pairs, serially: the same seeded
+    plane matrix, per-table bucketing, the engine's duplicate-heavy-bucket
+    star rule (> 4*BUCKET_PAIR_CAP), cosine verify, (src < dst) dedup —
+    the contract of stages.dedup.cosine_dup_pairs(lsh=True)."""
+    rng = np.random.RandomState(seed)
+    dim = vecs.shape[1]
+    planes = rng.randn(num_tables, num_planes, dim)
+    buckets: dict[int, list[int]] = defaultdict(list)  # key -> row indices
+    for t in range(num_tables):
+        bits = (vecs @ planes[t].T) > 0
+        bucket = bits @ (1 << np.arange(num_planes, dtype=np.int64))
+        for row, b in enumerate(bucket):
+            buckets[int(b) * num_tables + t].append(row)
+    ids_arr = np.asarray(vec_ids, dtype=np.int64)
+    pairs: set[tuple[int, int]] = set()
+    for key in sorted(buckets):
+        rows = buckets[key]
+        if len(rows) <= 1:
+            continue
+        order = np.argsort(ids_arr[rows])
+        ids_l = ids_arr[rows][order]
+        sub = vecs[rows][order]
+        n = np.linalg.norm(sub, axis=1)
+        n[n == 0] = 1.0
+        vn = sub / n[:, None]
+        if len(ids_l) > BUCKET_PAIR_CAP * 4:
+            sims0 = vn[1:] @ vn[0]
+            for j in np.nonzero(sims0 >= threshold)[0]:
+                if ids_l[0] != ids_l[j + 1]:
+                    pairs.add((int(ids_l[0]), int(ids_l[j + 1])))
+        else:
+            sims = vn @ vn.T
+            for x in range(len(ids_l)):
+                for y in range(x + 1, len(ids_l)):
+                    if sims[x, y] >= threshold and ids_l[x] != ids_l[y]:
+                        a, b = sorted((int(ids_l[x]), int(ids_l[y])))
+                        pairs.add((a, b))
+    src_dst = sorted(pairs)
+    return pa.table(
+        {
+            "src": pa.array([p[0] for p in src_dst], type=pa.int64()),
+            "dst": pa.array([p[1] for p in src_dst], type=pa.int64()),
+        }
+    )
+
+
 def materialized_docs_path(sf_dir: str) -> str:
-    """Materialize (once, cached) the serial documents-table oracles for
-    ``sf_dir``; returns a directory holding ``minhash_clusters.parquet``
-    (verify_threshold=0.9, the dedup_minhash_docs setting),
-    ``simhash_pairs.parquet`` (max_hamming=3) and
-    ``fingerprints.parquet``. Atomic rename commit, safe under
-    concurrent callers."""
+    """Materialize (once, cached) the serial documents/embeddings-table
+    oracles for ``sf_dir``; returns a directory holding
+    ``minhash_clusters.parquet`` (verify_threshold=0.9, the
+    dedup_minhash_docs setting), ``simhash_pairs.parquet``
+    (max_hamming=3), ``fingerprints.parquet`` and
+    ``cosine_lsh_pairs.parquet`` (the dedup_cosine_lsh_docs setting:
+    threshold=queries.COSINE_PAIR_THRESHOLD, 4 planes x 8 tables).
+    Atomic rename commit, safe under concurrent callers."""
     docs = os.path.join(sf_dir, "documents.parquet")
     name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/graft_oracle_docs/{name}"
+    out = f"/tmp/graft_oracle_docs/{name}_v2"
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
@@ -195,6 +252,17 @@ def materialized_docs_path(sf_dir: str) -> str:
     )
     pq.write_table(
         serial_fingerprints(ids, texts), os.path.join(tmp, "fingerprints.parquet")
+    )
+    from .queries import COSINE_PAIR_THRESHOLD
+
+    etbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vec_ids = [int(x) for x in etbl.column("vec_id").to_pylist()]
+    vmat = np.array(etbl.column("embedding").to_pylist(), dtype=np.float64)
+    pq.write_table(
+        serial_cosine_lsh_pairs(vec_ids, vmat, threshold=COSINE_PAIR_THRESHOLD),
+        os.path.join(tmp, "cosine_lsh_pairs.parquet"),
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     try:

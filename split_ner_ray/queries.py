@@ -669,6 +669,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM read_parquet('{fps}')
 """
 
+DEDUP_COSINE_LSH_SQL = """
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+FROM read_parquet('{cosine}')
+"""
+
+# transcripts-derived auxiliary oracles (oracle.materialized_kg_aux_path)
+KG_INTRINSIC_SQL = """
+SELECT pattern, tag, CAST(n AS BIGINT) AS n, share_pct
+FROM read_parquet('{intrinsic}')
+"""
+
+KG_PRED_PATTERNS_SQL = """
+SELECT gap, subj_etype, obj_etype, CAST(n AS BIGINT) AS n
+FROM read_parquet('{predgaps}')
+"""
+
+MENTION_NORMS_SQL = """
+SELECT surface, etype, CAST(norm_mille AS BIGINT) AS norm_mille
+FROM read_parquet('{mnorms}')
+"""
+
 
 def kg_parity_metrics(sf_dir: str):
     """Self-check: distributed pipeline vs single-process oracle triple P/R
@@ -989,8 +1010,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def mention_embeddings(sf_dir: str):
     """S6 analog: deterministic hashed char-n-gram embeddings for the
-    distinct mention surfaces of the KG corpus (rows-only: embeddings are
-    not SQL-expressible)."""
+    distinct mention surfaces of the KG corpus, projected to
+    (surface, etype, norm_mille) — hash-checked vs the materialized
+    serial oracle (oracle.materialized_kg_aux_path)."""
     from .stages.embed import embed_mentions
     from .stages.extract import detect_and_classify, flatten_mentions
 
@@ -1020,7 +1042,7 @@ QUERIES.update(
         "doc_stats_by_lang": (doc_stats_by_lang, STATS_BY_LANG_SQL),
         "part_topk_per_brand": (part_topk_per_brand, PART_TOPK_SQL),
         "events_type_users": (events_type_users, EVENTS_USERS_SQL),
-        "mention_embeddings": (mention_embeddings, None),
+        "mention_embeddings": (mention_embeddings, MENTION_NORMS_SQL),
     }
 )
 
@@ -1119,8 +1141,9 @@ def kg_intrinsic_patterns(sf_dir: str):
     """Per-pattern tag distributions over the synthetic transcripts (mining
     op, reference pattern_analysis.intrinsic_patterns semantics — the
     documents table has no gazetteer entities, so the meaningful corpus is
-    the transcripts; mention detection is not SQL-expressible -> rows-only
-    driver check + pytest fixture oracle)."""
+    the transcripts; mention detection is not SQL-expressible, so the SQL
+    oracle reads the materialized serial miner,
+    oracle.materialized_kg_aux_path) + pytest fixture oracle."""
     from .stages.mining import intrinsic_pattern_tags
 
     ds = _transcripts_ds(sf_dir)
@@ -1136,7 +1159,8 @@ def kg_intrinsic_patterns(sf_dir: str):
 
 def kg_pred_patterns(sf_dir: str):
     """Mined predicate-gap patterns over the synthetic transcripts (the
-    S9 feedback loop feeding rules.PRED_PATTERNS; rows-only)."""
+    S9 feedback loop feeding rules.PRED_PATTERNS; hash-checked vs the
+    materialized serial miner, oracle.materialized_kg_aux_path)."""
     from .stages.mining import mine_predicate_patterns
 
     ds = _transcripts_ds(sf_dir)
@@ -1170,8 +1194,9 @@ ORDER BY src, dst
 
 
 def dedup_cosine_lsh_docs(sf_dir: str):
-    """Hyperplane-LSH cosine pairs — the 100 TB default path (rows-only;
-    recall vs the brute oracle is pytest-asserted)."""
+    """Hyperplane-LSH cosine pairs — the 100 TB default path (hash-checked
+    vs the serial LSH oracle, oracle_docs.serial_cosine_lsh_pairs; recall
+    vs the brute oracle is pytest-asserted)."""
     from .stages.dedup import cosine_dup_pairs
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -1186,10 +1211,10 @@ def dedup_cosine_lsh_docs(sf_dir: str):
 QUERIES.update(
     {
         "doc_mined_op_contexts": (doc_mined_op_contexts, MINED_OP_SQL),
-        "kg_intrinsic_patterns": (kg_intrinsic_patterns, None),
-        "kg_pred_patterns": (kg_pred_patterns, None),
+        "kg_intrinsic_patterns": (kg_intrinsic_patterns, KG_INTRINSIC_SQL),
+        "kg_pred_patterns": (kg_pred_patterns, KG_PRED_PATTERNS_SQL),
         "dedup_cosine_docs": (dedup_cosine_docs, COSINE_PAIRS_SQL),
-        "dedup_cosine_lsh_docs": (dedup_cosine_lsh_docs, None),
+        "dedup_cosine_lsh_docs": (dedup_cosine_lsh_docs, DEDUP_COSINE_LSH_SQL),
     }
 )
 
@@ -1493,6 +1518,23 @@ def _oracle_docs_sql(template: str) -> str:
         minhash=os.path.join(d, "minhash_clusters.parquet"),
         simhash=os.path.join(d, "simhash_pairs.parquet"),
         fps=os.path.join(d, "fingerprints.parquet"),
+        cosine=os.path.join(d, "cosine_lsh_pairs.parquet"),
+    )
+
+
+def _oracle_kg_aux_sql(template: str) -> str:
+    """Fill a template with the materialized transcripts-derived auxiliary
+    oracle paths (oracle.materialized_kg_aux_path): mined intrinsic
+    pattern-tag distributions, predicate-gap patterns, distinct-mention
+    embedding norms."""
+    from .oracle import materialized_kg_aux_path
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    d = materialized_kg_aux_path(sf_dir)
+    return template.format(
+        intrinsic=os.path.join(d, "intrinsic_patterns.parquet"),
+        predgaps=os.path.join(d, "pred_patterns.parquet"),
+        mnorms=os.path.join(d, "mention_norms.parquet"),
     )
 
 
@@ -1680,8 +1722,10 @@ def oracle_sql_catalog() -> dict[str, str]:
             out[name] = _transcripts_sql(sql)
         elif "{triples}" in sql or "{nodes}" in sql or "{mentions}" in sql:
             out[name] = _oracle_kg_sql(sql)
-        elif "{minhash}" in sql or "{simhash}" in sql or "{fps}" in sql:
+        elif any(k in sql for k in ("{minhash}", "{simhash}", "{fps}", "{cosine}")):
             out[name] = _oracle_docs_sql(sql)
+        elif any(k in sql for k in ("{intrinsic}", "{predgaps}", "{mnorms}")):
+            out[name] = _oracle_kg_aux_sql(sql)
         else:
             out[name] = sql
     return out

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import rules
+from ..schemas import MENTIONS
 
 MENTION_STRUCT = pa.struct(
     [
@@ -194,8 +195,10 @@ def flatten_mentions(ds):
                 cols["surface"].append(m["surface"])
                 cols["etype"].append(m["etype"])
                 cols["score"].append(m["score"])
-        from ..schemas import MENTIONS
-
+        # NOTE: MENTIONS must be bound at module level, not imported here:
+        # this closure runs on workers, where a runtime relative import
+        # fails when the package was loaded by path from a non-repo cwd
+        # (the by-value pickling fallback covers globals, not imports).
         return pa.Table.from_pydict(cols, schema=MENTIONS)
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

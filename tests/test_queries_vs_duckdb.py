@@ -71,12 +71,40 @@ def test_query_matches_oracle(catalog, con, name):
 
 ROWS_ONLY = [
     "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1",
-    "mention_embeddings",
 ]
 
 DOCS_SQL_BACKED = [
     "dedup_minhash_docs", "dedup_simhash_docs", "doc_fingerprints",
+    "dedup_cosine_lsh_docs",
 ]
+
+KG_AUX_SQL_BACKED = [
+    "kg_intrinsic_patterns", "kg_pred_patterns", "mention_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", KG_AUX_SQL_BACKED)
+def test_kg_aux_query_matches_materialized_oracle(catalog, con, name):
+    """Mining + mention-norm entries vs DuckDB over the materialized
+    transcripts-derived serial oracles (oracle.materialized_kg_aux_path)."""
+    import os
+
+    from split_ner_ray.oracle import materialized_kg_aux_path
+
+    fn, sql = catalog[name]
+    assert sql is not None
+    d = materialized_kg_aux_path(SF_DIR)
+    resolved = sql.format(
+        intrinsic=os.path.join(d, "intrinsic_patterns.parquet"),
+        predgaps=os.path.join(d, "pred_patterns.parquet"),
+        mnorms=os.path.join(d, "mention_norms.parquet"),
+    )
+    got = _norm(pd.DataFrame(fn(SF_DIR)))
+    want = _norm(con.sql(resolved).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), f"column {c} differs"
 
 
 @pytest.mark.parametrize("name", DOCS_SQL_BACKED)
@@ -96,6 +124,7 @@ def test_docs_query_matches_materialized_oracle(catalog, con, name):
         minhash=os.path.join(d, "minhash_clusters.parquet"),
         simhash=os.path.join(d, "simhash_pairs.parquet"),
         fps=os.path.join(d, "fingerprints.parquet"),
+        cosine=os.path.join(d, "cosine_lsh_pairs.parquet"),
     )
     got = _norm(pd.DataFrame(fn(SF_DIR)))
     want = _norm(con.sql(resolved).df())
