@@ -1710,6 +1710,136 @@ QUERIES.update(
 )
 
 
+def events_value_quantiles(sf_dir: str):
+    """Grouped approximate quantiles (KLL-lite compactor, partial+final,
+    no shuffle) in the exactness regime: per-type counts at the compare
+    sf are well under capacity, so no compaction fires and the discrete
+    quantiles match the SQL window-rank oracle exactly. At bench sf the
+    same call crosses into the sketch regime (exact=0)."""
+    from .stages.sketch import approx_quantiles_by
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    df = approx_quantiles_by(ds, "value", "event_type",
+                             qs=[0.25, 0.5, 0.9, 0.99], capacity=8192)
+    return pd.DataFrame(
+        {
+            "event_type": df["by"],
+            "q_mille": df["q_mille"].astype("int64"),
+            "value_c": [_cents(v) for v in df["value"]],
+            "exact": df["exact"].astype("int64"),
+        }
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), qs AS (SELECT unnest([250, 500, 900, 990]) AS q_mille)
+SELECT event_type, q_mille,
+       CAST(ROUND(100*value) AS BIGINT) AS value_c, 1 AS exact
+FROM ranked JOIN qs ON r = GREATEST(1, (q_mille * n + 999) // 1000)
+ORDER BY event_type, q_mille
+"""
+
+
+def events_latest_by_user(sf_dir: str):
+    """Keep-newest dedup policy: one row per user — the latest event,
+    event_id-tiebroken. Per-batch combiner keeps one candidate per
+    (user, batch) before the single bucketed shuffle."""
+    from .stages.dedup import dedup_keep_newest
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = dedup_keep_newest(
+        ds, ["user_id"], [("ts", True), ("event_id", True)]
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "event_id": out["event_id"].astype("int64"),
+            "event_type": out["event_type"],
+            "ts_s": out["ts"].to_numpy().astype("datetime64[s]").astype("int64"),
+            "value_c": [_cents(v) for v in out["value"]],
+        }
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, event_type,
+       CAST(epoch_us(ts)//1000000 AS BIGINT) AS ts_s,
+       CAST(ROUND(100*value) AS BIGINT) AS value_c
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def customer_events_full_outer(sf_dir: str):
+    """FULL OUTER partitioned join with both-sided exclusives: left =
+    per-user event rollup, right = positive-balance customers (negative
+    balances filtered off, so some event users have no right match;
+    1350 customers have no events at the compare sf). Unmatched keys
+    stay inside their hash bucket, so the per-bucket outer merge is
+    globally correct with no extra pass."""
+    from .stages.relational import hash_aggregate, partitioned_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).size()
+        out.columns = ["user_id", "n_events"]
+        return out
+
+    per_user = hash_aggregate(ev, ["user_id"], cnt)
+
+    def pos_cust(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_acctbal"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": b["c_custkey"].astype("int64"),
+                "is_cust": np.ones(len(b), dtype="int64"),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    ).map_batches(pos_cust, batch_format="pandas")
+    j = partitioned_join(per_user, cust, ["user_id"], how="outer").to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": j["user_id"].astype("int64"),
+            "n_events": j["n_events"].fillna(0).astype("int64"),
+            "is_cust": j["is_cust"].fillna(0).astype("int64"),
+        }
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+FULL_OUTER_SQL = """
+SELECT COALESCE(e.user_id, c.c_custkey) AS user_id,
+       COALESCE(e.n_events, 0) AS n_events,
+       CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS is_cust
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+FULL OUTER JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+ON e.user_id = c.c_custkey
+ORDER BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+        "events_latest_by_user": (events_latest_by_user, EVENTS_LATEST_SQL),
+        "customer_events_full_outer": (customer_events_full_outer, FULL_OUTER_SQL),
+    }
+)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """The driver-facing oracle-SQL dict: templates referencing the
     synthetic transcripts parquet are resolved (and the corpus

@@ -157,6 +157,36 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return hash_aggregate(hashed, ["h"], agg)
 
 
+def dedup_keep_newest(ds, keys: list[str], by: list[tuple[str, bool]],
+                      *, num_buckets: int = 64):
+    """Keep exactly ONE row per key group: the first under ``by``
+    ([(col, descending), ...] — e.g. [("ts", True), ("event_id", True)]
+    = newest, ties broken by id). The keep-latest-record dedup policy a
+    training-data pipeline needs next to keep-min-id ``exact_dedup``.
+
+    Partial+final shape: a vectorized per-BATCH combiner (sort +
+    drop_duplicates, many keys per call) keeps one candidate per key
+    before the shuffle, so the single bucketed exchange moves at most
+    one row per (key, batch) — at 10^12 rows with duplicate-heavy keys
+    the shuffle volume is the distinct-key count times the block count,
+    not the input size. Include a unique tie-break column in ``by`` for
+    determinism. No reference analog (SURVEY §2.6 D-ops are diff/union
+    driven); this is an engine addition (§2.11)."""
+    from .relational import hash_aggregate
+
+    cols = [c for c, _ in by]
+    asc = [not d for _, d in by]
+
+    def keep_first(frame: pd.DataFrame) -> pd.DataFrame:
+        s = frame.sort_values(cols + keys, ascending=asc + [True] * len(keys),
+                              kind="stable")
+        return s.drop_duplicates(subset=keys, keep="first")
+
+    partials = ds.map_batches(keep_first, batch_format="pandas")
+    return hash_aggregate(partials, keys, keep_first,
+                          num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (shingle -> minhash -> band -> bucket groupby)
 # ---------------------------------------------------------------------------

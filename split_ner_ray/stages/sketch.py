@@ -96,3 +96,126 @@ def frequent_items(ds, col: str, *, capacity: int = 1024,
         ["count", "item"], ascending=[False, True]
     ).reset_index(drop=True)
     return merged.head(top) if top is not None else merged
+
+
+class QuantileCompactor:
+    """KLL-lite quantile summary: level i holds an array whose elements
+    each represent 2**i original values. When a level exceeds
+    ``capacity`` its sorted values are halved by keeping the EVEN
+    indices — no RNG (unlike randomized KLL), so a run is reproducible
+    for a fixed batch partitioning; the compaction *history* still
+    depends on chunk boundaries, so only the sub-capacity regime is
+    batch-split-invariant. With no compaction (total values <=
+    capacity) the summary is EXACT — that regime is what makes the
+    driver query SQL-hash-checkable — and in the compacted regime the
+    rank error stays O(levels * capacity/2), bounded empirically by
+    pytest."""
+
+    def __init__(self, capacity: int = 8192):
+        self.capacity = capacity
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.compacted = False
+
+    def add(self, values: np.ndarray, level: int = 0) -> None:
+        while len(self.levels) <= level:
+            self.levels.append(np.empty(0, dtype=np.float64))
+        self.levels[level] = np.concatenate(
+            [self.levels[level], np.asarray(values, dtype=np.float64)]
+        )
+        i = level
+        while i < len(self.levels) and len(self.levels[i]) > self.capacity:
+            promoted = np.sort(self.levels[i])[0::2]
+            self.levels[i] = np.empty(0, dtype=np.float64)
+            self.compacted = True
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "QuantileCompactor") -> None:
+        for lvl, vals in enumerate(other.levels):
+            if len(vals):
+                self.add(vals, level=lvl)
+        self.compacted = self.compacted or other.compacted
+
+    def quantiles(self, qs) -> list[float]:
+        """Weighted discrete quantiles (percentile_disc semantics: the
+        smallest value whose cumulative weight >= ceil(q * N)). Each q
+        is a float, or a (num, den) tuple for exact-integer rank math —
+        float ceil(q*N) can land one rank off the SQL oracle's integer
+        expression when q*N is an exact integer (0.9*2010 ==
+        1809.0000000000002 in binary)."""
+        vals = np.concatenate([v for v in self.levels if len(v)] or
+                              [np.empty(0, dtype=np.float64)])
+        wts = np.concatenate(
+            [np.full(len(v), 1 << i, dtype=np.int64)
+             for i, v in enumerate(self.levels) if len(v)] or
+            [np.empty(0, dtype=np.int64)]
+        )
+        if not len(vals):
+            return [float("nan")] * len(qs)
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        n = int(cum[-1])
+        out = []
+        for q in qs:
+            if isinstance(q, tuple):
+                num, den = q
+                rank = max(1, -(-num * n // den))
+            else:
+                rank = max(1, int(np.ceil(q * n)))
+            out.append(float(vals[np.searchsorted(cum, rank)]))
+        return out
+
+
+def quantile_partials_by(ds, col: str, by: str, *, capacity: int = 8192):
+    """Per-batch quantile-summary partials grouped by ``by``: each row is
+    (by, level, vals list) from a batch-local compactor — bounded at
+    capacity * log2(batch/capacity) floats per (batch, group) regardless
+    of batch size, so the driver merge reads a stream whose volume is a
+    fraction of the raw column at scale."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"by": [], "level": [], "vals": []}
+        for key, sub in batch.groupby(by, sort=False):
+            c = QuantileCompactor(capacity)
+            c.add(sub[col].to_numpy(dtype=np.float64))
+            for lvl, vals in enumerate(c.levels):
+                if len(vals):
+                    rows["by"].append(key)
+                    rows["level"].append(lvl)
+                    rows["vals"].append(vals.tolist())
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def approx_quantiles_by(ds, col: str, by: str, qs: list[float],
+                        *, capacity: int = 8192) -> pd.DataFrame:
+    """Grouped approximate quantiles: one bounded compactor per group on
+    the driver, fed by the streamed batch partials (no shuffle). EXACT
+    (percentile_disc) whenever a group's total count <= capacity —
+    which makes the driver query SQL-hash-checkable at compare sf while
+    the same code degrades to a bounded-rank-error estimate at 10^12
+    rows. Returns (by, q_mille, value, exact) sorted by (by, q_mille)."""
+    comps: dict[object, QuantileCompactor] = {}
+    for part in quantile_partials_by(ds, col, by, capacity=capacity).iter_batches(
+        batch_format="pandas", batch_size=256
+    ):
+        for key, lvl, vals in zip(part["by"], part["level"], part["vals"]):
+            c = comps.setdefault(key, QuantileCompactor(capacity))
+            c.add(np.asarray(vals, dtype=np.float64), level=int(lvl))
+    milles = [int(round(1000 * q)) for q in qs]
+    rows = {"by": [], "q_mille": [], "value": [], "exact": []}
+    for key in sorted(comps):
+        c = comps[key]
+        vals = c.quantiles([(m, 1000) for m in milles])
+        for m, v in zip(milles, vals):
+            rows["by"].append(key)
+            rows["q_mille"].append(m)
+            rows["value"].append(v)
+            rows["exact"].append(not c.compacted)
+    out = pd.DataFrame(rows)
+    out["q_mille"] = out["q_mille"].astype("int64")
+    return out.sort_values(["by", "q_mille"]).reset_index(drop=True)

@@ -679,3 +679,126 @@ def test_id_assigner_raises_on_missing_linkable_key(ray_session):
     )
     with pytest.raises(KeyError, match="linkable key"):
         assigner(bad)
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch (stages/sketch.py QuantileCompactor) + keep-newest dedup
+# + full-outer partitioned join
+# ---------------------------------------------------------------------------
+
+def _exact_disc_quantile(vals: np.ndarray, q: float) -> float:
+    s = np.sort(vals)
+    rank = max(1, int(-(-int(round(1000 * q)) * len(s) // 1000)))
+    return float(s[rank - 1])
+
+
+def test_quantile_compactor_exact_below_capacity():
+    from split_ner_ray.stages.sketch import QuantileCompactor
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=5000)
+    c = QuantileCompactor(capacity=8192)
+    for chunk in np.array_split(vals, 7):
+        c.add(chunk)
+    assert not c.compacted
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    got = c.quantiles([(int(round(1000 * q)), 1000) for q in qs])
+    want = [_exact_disc_quantile(vals, q) for q in qs]
+    assert got == want
+
+
+def test_quantile_compactor_rank_error_bound_and_merge():
+    from split_ner_ray.stages.sketch import QuantileCompactor
+
+    rng = np.random.default_rng(11)
+    vals = rng.exponential(size=200_000)
+    # merged from 16 independent partials, as the driver merge does
+    parts = []
+    for chunk in np.array_split(vals, 16):
+        c = QuantileCompactor(capacity=1024)
+        c.add(chunk)
+        parts.append(c)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.compacted
+    s = np.sort(vals)
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        est = merged.quantiles([q])[0]
+        true_rank = np.searchsorted(s, est, side="right")
+        # rank error within 2% of N for capacity 1024 over 200k values
+        assert abs(true_rank - q * len(s)) < 0.02 * len(s), q
+
+
+def test_approx_quantiles_by_exact_regime_matches_pandas(rd):
+    from split_ner_ray.stages.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, size=3000),
+            "v": rng.normal(size=3000).round(3),
+        }
+    )
+    out = approx_quantiles_by(
+        rd.from_pandas(df).repartition(5), "v", "g", qs=[0.5, 0.9], capacity=8192
+    )
+    assert out["exact"].all()
+    for (g, m), row in out.set_index(["by", "q_mille"]).iterrows():
+        want = _exact_disc_quantile(df[df.g == g]["v"].to_numpy(), m / 1000)
+        assert row["value"] == want, (g, m)
+
+
+def test_dedup_keep_newest_matches_pandas(rd):
+    from split_ner_ray.stages.dedup import dedup_keep_newest
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, size=n),
+            "ts": rng.integers(0, 50, size=n),  # heavy ties
+            "rid": np.arange(n, dtype="int64"),
+            "payload": rng.normal(size=n),
+        }
+    )
+    for buckets in (4, 64):
+        got = (
+            dedup_keep_newest(
+                rd.from_pandas(df).repartition(9), ["k"],
+                [("ts", True), ("rid", True)], num_buckets=buckets,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)[["k", "ts", "rid", "payload"]]
+        )
+        want = (
+            df.sort_values(["ts", "rid"], ascending=False)
+            .drop_duplicates(subset=["k"], keep="first")
+            .sort_values("k")
+            .reset_index(drop=True)[["k", "ts", "rid", "payload"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_partitioned_join_full_outer_both_exclusives(rd):
+    from split_ner_ray.stages.relational import partitioned_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [3, 4, 5, 6], "b": [300, 400, 500, 600]})
+    got = (
+        partitioned_join(
+            rd.from_pandas(left), rd.from_pandas(right), ["k"],
+            how="outer", num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k", how="outer").sort_values("k").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b"]].astype("float64"),
+        want[["k", "a", "b"]].astype("float64"),
+    )
