@@ -1022,12 +1022,15 @@ def mention_embeddings(sf_dir: str):
     def distinct(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[["surface", "etype"]].drop_duplicates()
 
-    dm = m.map_batches(distinct, batch_format="pandas")
+    from .stages.relational import hash_aggregate
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    dm = dm.groupby(["surface", "etype"]).map_groups(first, batch_format="pandas")
+    # per-batch distinct combiner, then ONE bucketed exchange with a
+    # vectorized per-bucket drop_duplicates — no per-surface UDF dispatch
+    # (mention surfaces are a user-cardinality key)
+    dm = hash_aggregate(
+        m.map_batches(distinct, batch_format="pandas"),
+        ["surface", "etype"], distinct,
+    )
     emb = embed_mentions(dm).to_pandas()
     emb["norm_mille"] = [int(round(1000 * float(np.linalg.norm(v)))) for v in emb["embedding"]]
     out = emb[["surface", "etype", "norm_mille"]]
@@ -1831,11 +1834,85 @@ ORDER BY user_id
 """
 
 
+def events_running_user(sf_dir: str):
+    """Per-user running window aggregates (SUM/ROW_NUMBER OVER
+    PARTITION BY): one bucketed shuffle, vectorized cumsum/cumcount per
+    bucket. Values go to integer cents BEFORE the cumulative sum so the
+    running total is exact on both sides (a float cumsum's association
+    order differs between pandas and DuckDB's window segment tree)."""
+    from .stages.windows import running_agg
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "ts_s": b["ts"].to_numpy().astype("datetime64[s]").astype("int64"),
+                "value_c": np.round(100 * b["value"].to_numpy()).astype("int64"),
+            }
+        )
+
+    out = running_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        key_col="user_id", order_cols=["ts_s", "event_id"], value_col="value_c",
+    ).to_pandas()
+    out["run_value_c"] = out["run_value_c"].astype("int64")
+    return out[
+        ["user_id", "event_id", "ts_s", "value_c", "rn", "run_value_c"]
+    ].sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+
+EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id, CAST(epoch_us(ts)//1000000 AS BIGINT) AS ts_s,
+       CAST(ROUND(100*value) AS BIGINT) AS value_c,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(ROUND(100*value) AS BIGINT)) OVER w AS BIGINT) AS run_value_c
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+"""
+
+
+def doc_rollup_lang_source(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): multi-level counts/sums in one
+    distributed finest-level pass; coarser levels re-aggregate the small
+    finest result on the driver."""
+    from .stages.relational import rollup_counts
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "source", "n_chars"]
+    )
+    df = rollup_counts(ds, ["lang", "source"], ["n_chars"])
+    return pd.DataFrame(
+        {
+            "lang": df["lang"],
+            "source": df["source"],
+            "level": df["level"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "sum_chars": df["n_chars"].astype("int64"),
+        }
+    )
+
+
+DOC_ROLLUP_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(2 - GROUPING(lang) - GROUPING(source) AS BIGINT) AS level,
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY level, lang, source
+"""
+
+
 QUERIES.update(
     {
         "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
         "events_latest_by_user": (events_latest_by_user, EVENTS_LATEST_SQL),
         "customer_events_full_outer": (customer_events_full_outer, FULL_OUTER_SQL),
+        "events_running_user": (events_running_user, EVENTS_RUNNING_SQL),
+        "doc_rollup_lang_source": (doc_rollup_lang_source, DOC_ROLLUP_SQL),
     }
 )
 

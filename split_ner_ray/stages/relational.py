@@ -537,3 +537,38 @@ def grouped_topk(ds, group_keys: list[str], by: list[tuple[str, bool]], k: int,
         return s.groupby(group_keys, sort=False).head(k)
 
     return hash_aggregate(ds, group_keys, per_bucket, num_buckets=num_buckets)
+
+
+def rollup_counts(ds, keys: list[str], sum_cols: list[str], *,
+                  num_buckets: int = 64, all_token: str = "ALL") -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys): counts + sums at every prefix level of
+    ``keys``, rolled-up key slots holding ``all_token``.
+
+    Only the FINEST level touches the input (one distributed
+    hash_aggregate pass); every coarser level re-aggregates the finest
+    RESULT — valid for decomposable aggregates (count/sum) and the
+    reason this stays cheap at 10^12 rows: the driver holds only
+    distinct-finest-key rows, never input. Returns a small DataFrame
+    (grouping-key cardinality by construction)."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        specs = {"n": (keys[0], "size")}
+        specs.update({c: (c, "sum") for c in sum_cols})
+        return g.groupby(keys, as_index=False).agg(**specs)
+
+    finest = hash_aggregate(ds, keys, agg).to_pandas()
+    finest["n"] = finest["n"].astype("int64")
+    out = [finest.assign(level=len(keys))]
+    for i in range(len(keys) - 1, -1, -1):
+        sub, dropped = keys[:i], keys[i:]
+        if sub:
+            lvl = finest.groupby(sub, as_index=False)[["n"] + sum_cols].sum()
+        else:
+            lvl = finest[["n"] + sum_cols].sum().to_frame().T
+        for c in dropped:
+            lvl[c] = all_token
+        out.append(lvl.assign(level=i))
+    res = pd.concat(out, ignore_index=True)[keys + ["level", "n"] + sum_cols]
+    res["n"] = res["n"].astype("int64")
+    res["level"] = res["level"].astype("int64")
+    return res.sort_values(["level"] + keys).reset_index(drop=True)

@@ -111,3 +111,30 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
         return out
 
     return hash_aggregate(ds, [key_col], per_bucket)
+
+
+def running_agg(ds, *, key_col: str, order_cols: list[str], value_col: str,
+                num_buckets: int = 64):
+    """Per-key running aggregates (the SUM/ROW_NUMBER OVER (PARTITION BY
+    key ORDER BY ...) window shape): adds ``rn`` (1-based rank) and
+    ``run_<value_col>`` (cumulative sum) to every input row.
+
+    One bucketed shuffle co-locates each key's history; per bucket, a
+    single vectorized sort + groupby.cumsum/cumcount pass handles every
+    key in the bucket (no per-key dispatch). Include a unique tie-break
+    column in ``order_cols`` for determinism. Partitioning assumption
+    (same as sessionize): one key's full history fits in a bucket worker
+    — segment a pathological key upstream if it exceeds worker memory.
+    """
+    from .relational import hash_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        g = g.assign(
+            rn=(grp.cumcount() + 1).astype("int64"),
+            **{f"run_{value_col}": grp[value_col].cumsum()},
+        )
+        return g
+
+    return hash_aggregate(ds, [key_col], per_bucket, num_buckets=num_buckets)

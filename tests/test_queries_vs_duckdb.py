@@ -51,7 +51,8 @@ SQL_BACKED = [
     "events_last_order", "orders_events_7d", "events_sliding_hour",
     "events_distinct_users_kmv", "events_type_freq_mg",
     "events_value_quantiles", "events_latest_by_user",
-    "customer_events_full_outer",
+    "customer_events_full_outer", "events_running_user",
+    "doc_rollup_lang_source",
 ]
 
 

@@ -802,3 +802,61 @@ def test_partitioned_join_full_outer_both_exclusives(rd):
         got[["k", "a", "b"]].astype("float64"),
         want[["k", "a", "b"]].astype("float64"),
     )
+
+
+def test_running_agg_matches_pandas(rd):
+    from split_ner_ray.stages.windows import running_agg
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=n),
+            "t": rng.integers(0, 30, size=n),  # heavy order ties
+            "rid": np.arange(n, dtype="int64"),
+            "v": rng.integers(-5, 20, size=n),
+        }
+    )
+    for buckets in (3, 64):
+        got = (
+            running_agg(
+                rd.from_pandas(df).repartition(7), key_col="k",
+                order_cols=["t", "rid"], value_col="v", num_buckets=buckets,
+            )
+            .to_pandas()
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "t", "rid"]).reset_index(drop=True)
+        grp = want.groupby("k", sort=False)
+        want = want.assign(rn=(grp.cumcount() + 1).astype("int64"),
+                           run_v=grp["v"].cumsum())
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_rollup_counts_matches_pandas(rd):
+    from split_ner_ray.stages.relational import rollup_counts
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], size=2000),
+            "b": rng.choice(["p", "q"], size=2000),
+            "w": rng.integers(0, 100, size=2000),
+        }
+    )
+    got = rollup_counts(rd.from_pandas(df).repartition(5), ["a", "b"], ["w"])
+    # finest level
+    fin = got[got.level == 2].set_index(["a", "b"])
+    want_fin = df.groupby(["a", "b"]).agg(n=("w", "size"), w=("w", "sum"))
+    assert fin[["n", "w"]].to_dict() == want_fin.to_dict()
+    # mid level: b rolled up
+    mid = got[got.level == 1]
+    assert (mid["b"] == "ALL").all()
+    want_mid = df.groupby("a").agg(n=("w", "size"), w=("w", "sum")).reset_index()
+    assert mid.set_index("a")[["n", "w"]].to_dict() == \
+        want_mid.set_index("a")[["n", "w"]].to_dict()
+    # grand total
+    top = got[got.level == 0]
+    assert len(top) == 1 and top.iloc[0]["n"] == 2000
+    assert top.iloc[0]["w"] == df["w"].sum()
