@@ -336,3 +336,66 @@ def materialized_kg_aux_path(sf_dir: str, seed: int = 42) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return out
+
+
+def materialized_kg_graph_path(sf_dir: str, seed: int = 42) -> str:
+    """Materialize (once, cached) the serial PageRank oracle over the
+    serial-oracle KG triple graph: a plain dict-based integer recurrence
+    (no numpy vectorization, no Ray) sharing only the fixed-point
+    constants with stages/graph.pagerank, so the hash compare exercises
+    the distributed triple build AND the iterative rank dataflow.
+    Writes ``pagerank.parquet`` (entity_id, rank) with the usual atomic
+    rename commit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .stages.graph import PR_UNIT, _pr_step_base
+    from .synth import n_convs_for_sf, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    n_convs = n_convs_for_sf(sf)
+    out = f"/tmp/graft_oracle_kg_graph/sf{sf}_n{n_convs}_seed{seed}"
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+
+    kg_dir = materialized_kg_path(sf_dir, seed=seed)
+    tri = pq.read_table(
+        os.path.join(kg_dir, "triples.parquet"), columns=["subj_id", "obj_id"]
+    )
+    edges = sorted(
+        set(zip(tri.column("subj_id").to_pylist(),
+                tri.column("obj_id").to_pylist()))
+    )
+    outdeg: dict[int, int] = {}
+    nodes: set[int] = set()
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    rank = {n: PR_UNIT for n in nodes}
+    base = _pr_step_base(85)
+    for _ in range(10):
+        acc = {n: 0 for n in nodes}
+        for s, d in edges:
+            acc[d] += rank[s] // outdeg[s]
+        rank = {n: base + (85 * acc[n]) // 100 for n in nodes}
+    ordered = sorted(nodes)
+    pr = pa.table(
+        {
+            "entity_id": pa.array(ordered),
+            "rank": pa.array([rank[n] for n in ordered], type=pa.int64()),
+        }
+    )
+    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pr, os.path.join(tmp, "pagerank.parquet"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass  # concurrent caller won the race; its output is identical
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

@@ -1541,6 +1541,16 @@ def _oracle_kg_aux_sql(template: str) -> str:
     )
 
 
+def _oracle_kg_graph_sql(template: str) -> str:
+    """Fill a template with the materialized serial-PageRank oracle path
+    (oracle.materialized_kg_graph_path)."""
+    from .oracle import materialized_kg_graph_path
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    d = materialized_kg_graph_path(sf_dir)
+    return template.format(pagerank=os.path.join(d, "pagerank.parquet"))
+
+
 TRANSCRIPTS_TOOL_SQL_TEMPLATE = """
 SELECT tool, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs
 FROM read_parquet('{glob}')
@@ -1906,6 +1916,88 @@ ORDER BY level, lang, source
 """
 
 
+def doc_sample_per_lang(sf_dir: str):
+    """Stratified deterministic sampling (the reference's k-shot-per-tag
+    O4 shape at corpus scale): 5 docs per language, chosen by smallest
+    (md5(doc_id), doc_id) — shuffle-stable, no RNG state to coordinate
+    across workers, and exactly reproducible in SQL. Routed through
+    grouped_topk (tie-safe partials, many keys per dispatch)."""
+    import hashlib
+
+    from .stages.relational import grouped_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def add_h(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["h"] = [
+            hashlib.md5(str(int(d)).encode()).hexdigest() for d in batch["doc_id"]
+        ]
+        return batch
+
+    out = grouped_topk(
+        ds.map_batches(add_h, batch_format="pandas"),
+        ["lang"], [("h", False), ("doc_id", False)], 5,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["lang", "h", "doc_id"]].sort_values(
+        ["lang", "h", "doc_id"]
+    ).reset_index(drop=True)
+
+
+SAMPLE_PER_LANG_SQL = """
+SELECT lang, h, doc_id
+FROM (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5 ORDER BY lang, h, doc_id
+"""
+
+
+def kg_node_degrees(sf_dir: str):
+    """Graph-shape projection of the flagship output: in/out degree per
+    entity. Each triple block flat-maps to per-batch PARTIAL degree
+    counts (combiner), then one bucketed aggregate sums them — the
+    triples Dataset never collects to the driver before aggregation.
+    Hash-checked against the materialized serial-oracle triples."""
+    from .pipelines.kg import build_graph_datasets
+    from .stages.relational import hash_aggregate
+
+    triples, _n, _e, _m = build_graph_datasets(
+        _transcripts_ds(sf_dir), concurrency=(1, 4)
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                pd.DataFrame({"entity_id": b["subj_id"], "out_deg": 1, "in_deg": 0}),
+                pd.DataFrame({"entity_id": b["obj_id"], "out_deg": 0, "in_deg": 1}),
+            ],
+            ignore_index=True,
+        )
+        return both.groupby("entity_id", as_index=False).sum()
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("entity_id", as_index=False).sum()
+
+    deg = hash_aggregate(
+        triples.map_batches(partial, batch_format="pandas"), ["entity_id"], total
+    ).to_pandas()
+    deg = deg.astype({"out_deg": "int64", "in_deg": "int64"})
+    return deg.sort_values("entity_id").reset_index(drop=True)
+
+
+KG_NODE_DEGREES_SQL = """
+SELECT entity_id, CAST(SUM(o) AS BIGINT) AS out_deg,
+       CAST(SUM(i) AS BIGINT) AS in_deg
+FROM (SELECT subj_id AS entity_id, 1 AS o, 0 AS i FROM read_parquet('{triples}')
+      UNION ALL
+      SELECT obj_id, 0, 1 FROM read_parquet('{triples}'))
+GROUP BY entity_id
+"""
+
+
 QUERIES.update(
     {
         "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
@@ -1913,8 +2005,43 @@ QUERIES.update(
         "customer_events_full_outer": (customer_events_full_outer, FULL_OUTER_SQL),
         "events_running_user": (events_running_user, EVENTS_RUNNING_SQL),
         "doc_rollup_lang_source": (doc_rollup_lang_source, DOC_ROLLUP_SQL),
+        "doc_sample_per_lang": (doc_sample_per_lang, SAMPLE_PER_LANG_SQL),
+        "kg_node_degrees": (kg_node_degrees, KG_NODE_DEGREES_SQL),
     }
 )
+
+
+def kg_pagerank(sf_dir: str):
+    """Iterative integer fixed-point PageRank over the flagship KG's
+    entity graph (distinct subj->obj edges from the DISTRIBUTED triple
+    build), hash-checked against a dict-based serial oracle
+    (oracle.materialized_kg_graph_path). Integer arithmetic makes the
+    ranks identical at any parallelism — see stages/graph.pagerank."""
+    from .pipelines.kg import build_graph_datasets
+    from .stages.graph import pagerank
+
+    triples, _n, _e, _m = build_graph_datasets(
+        _transcripts_ds(sf_dir), concurrency=(1, 4)
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["subj_id"], "dst": b["obj_id"]})
+
+    ranks = pagerank(
+        triples.map_batches(to_edges, batch_format="pandas"), iters=10
+    ).to_pandas()
+    out = pd.DataFrame(
+        {"entity_id": ranks["node"], "rank": ranks["rank"].astype("int64")}
+    )
+    return out.sort_values("entity_id").reset_index(drop=True)
+
+
+KG_PAGERANK_SQL = """
+SELECT entity_id, CAST(rank AS BIGINT) AS rank
+FROM read_parquet('{pagerank}') ORDER BY entity_id
+"""
+
+QUERIES.update({"kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL)})
 
 
 def oracle_sql_catalog() -> dict[str, str]:
@@ -1933,6 +2060,8 @@ def oracle_sql_catalog() -> dict[str, str]:
             out[name] = _oracle_docs_sql(sql)
         elif any(k in sql for k in ("{intrinsic}", "{predgaps}", "{mnorms}")):
             out[name] = _oracle_kg_aux_sql(sql)
+        elif "{pagerank}" in sql:
+            out[name] = _oracle_kg_graph_sql(sql)
         else:
             out[name] = sql
     return out

@@ -216,3 +216,130 @@ def connected_components(edges_ds, *, max_iter: int = 20, num_buckets: int = 64,
         edges.map_batches(to_labels, batch_format="pandas"), ["node"], min_label,
         num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank-lite (integer fixed-point, deterministic at any parallelism)
+# ---------------------------------------------------------------------------
+
+PR_UNIT = 1_000_000_000  # rank fixed-point scale (per-node start = 1 UNIT)
+
+
+def _pr_step_base(d_pct: int) -> int:
+    return ((100 - d_pct) * PR_UNIT) // 100
+
+
+def _driver_pagerank(edges: pd.DataFrame, iters: int, d_pct: int) -> pd.DataFrame:
+    """numpy int64 recurrence — same integer semantics as the distributed
+    path: rank' = (100-d)%*UNIT + d%*sum(rank//outdeg) with floor
+    divisions, dangling mass dropped."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[s] for s in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((idx[d] for d in dst), dtype=np.int64, count=len(dst))
+    outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    rank = np.full(len(nodes), PR_UNIT, dtype=np.int64)
+    base = _pr_step_base(d_pct)
+    for _ in range(iters):
+        contrib = rank[si] // outdeg[si]
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        rank = base + (d_pct * acc) // 100
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({"node": nodes, "rank": rank}))
+
+
+def pagerank(edges_ds, *, iters: int = 10, d_pct: int = 85,
+             num_buckets: int = 64,
+             small_graph_edges: int = SMALL_GRAPH_EDGES):
+    """PageRank-lite over directed edges (src, dst — int64 or string
+    ids) -> (node, rank:int64), rank in units of PR_UNIT (start = 1 UNIT
+    per node). INTEGER fixed-point throughout: floor-divided
+    contributions and integer damping make every sum order-independent,
+    so driver, distributed and serial-oracle executions agree
+    bit-for-bit at any parallelism — a float PageRank's summation order
+    would differ per run and break hash comparison. Dangling-node mass
+    is dropped (documented PageRank-lite simplification); duplicate
+    edges are collapsed first.
+
+    Regimes, mirroring connected_components: numpy on the driver under
+    ``small_graph_edges`` (iteration latency is shuffle-bound far below
+    that); beyond it, per iteration ONE partitioned join (static
+    outdeg-annotated edge list, bucketized once, against the current
+    rank table) and ONE bucketed sum — 2 all-to-alls per iteration over
+    (int, int) rows only. Rank rows materialize each iteration to keep
+    lineage bounded (one int64 pair per node). int64 overflow headroom:
+    a node's in-sum is bounded by total mass N*PR_UNIT, safe to N ~ 9e9
+    nodes.
+    """
+    from .relational import hash_aggregate, partitioned_join
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["src", "dst"])
+
+    edges = hash_aggregate(
+        edges_ds.map_batches(dedup, batch_format="pandas"), ["src", "dst"],
+        dedup, num_buckets=num_buckets,
+    ).materialize()
+    if edges.count() <= small_graph_edges:
+        return _driver_pagerank(edges.to_pandas(), iters, d_pct)
+
+    def deg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src", as_index=False).size()
+        out.columns = ["src", "outdeg"]
+        return out
+
+    outdeg = hash_aggregate(edges, ["src"], deg, num_buckets=num_buckets)
+    edges_w = partitioned_join(edges, outdeg, ["src"],
+                               num_buckets=num_buckets).materialize()
+
+    def to_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([b["src"], b["dst"]]).unique()}
+        )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    nodes = hash_aggregate(
+        edges.map_batches(to_nodes, batch_format="pandas"), ["node"], uniq,
+        num_buckets=num_buckets,
+    ).materialize()
+    zeros = nodes.map_batches(
+        lambda b: b.assign(c=np.int64(0)), batch_format="pandas"
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: b.assign(rank=np.int64(PR_UNIT)), batch_format="pandas"
+    ).materialize()
+    base = _pr_step_base(d_pct)
+    for _ in range(iters):
+        as_src = ranks.map_batches(
+            lambda b: b.rename(columns={"node": "src"}), batch_format="pandas"
+        )
+        joined = partitioned_join(edges_w, as_src, ["src"],
+                                  num_buckets=num_buckets)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["dst"],
+                    "c": (b["rank"].to_numpy(dtype=np.int64)
+                          // b["outdeg"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        def new_rank(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("node", as_index=False)["c"].sum()
+            out["rank"] = base + (d_pct * out["c"].astype("int64")) // 100
+            out["rank"] = out["rank"].astype("int64")
+            return out[["node", "rank"]]
+
+        ranks = hash_aggregate(
+            joined.map_batches(contrib, batch_format="pandas").union(zeros),
+            ["node"], new_rank, num_buckets=num_buckets,
+        ).materialize()
+    return ranks

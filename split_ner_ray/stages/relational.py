@@ -572,3 +572,61 @@ def rollup_counts(ds, keys: list[str], sum_cols: list[str], *,
     res["n"] = res["n"].astype("int64")
     res["level"] = res["level"].astype("int64")
     return res.sort_values(["level"] + keys).reset_index(drop=True)
+
+
+def salted_join(left_ds, right_ds, on: list[str], hot_keys, *, salt: int = 8,
+                num_buckets: int = 32):
+    """Skew-safe inner partitioned join: hot join keys (e.g. from
+    ``sketch.frequent_items``) are spread over ``salt`` sub-buckets.
+
+    Left rows on a hot key get a cycling salt in [0, salt); right rows on
+    a hot key are REPLICATED once per salt value; cold rows join at salt
+    0. The bucket hash covers (keys + salt), so one hot key's rows land
+    in up to ``salt`` buckets instead of one — the standard fix when a
+    single key's cogroup exceeds a bucket worker's memory (a 10^8-row
+    key would otherwise serialize one straggler task). The result set is
+    identical to ``partitioned_join(..., how="inner")`` — only the
+    partitioning changes; replicate the SMALLER side as ``right``.
+    Inner-join only (an unmatched replicated right row would surface
+    ``salt`` times under outer semantics).
+
+    ``hot_keys``: small collection of key values (tuples for multi-column
+    keys), ray.put once and worker-cached — never re-shipped per batch.
+    """
+    import ray
+
+    hot_ref = ray.put(pd.DataFrame(
+        list(hot_keys) if len(on) > 1 else [(k,) for k in hot_keys],
+        columns=on,
+    ))
+
+    def _is_hot(b: pd.DataFrame) -> np.ndarray:
+        hot = _small_frame(hot_ref)
+        if len(on) == 1:
+            return b[on[0]].isin(hot[on[0]]).to_numpy()
+        idx = pd.MultiIndex.from_frame(b[on])
+        return np.asarray(idx.isin(pd.MultiIndex.from_frame(hot)))
+
+    def salt_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        hot = _is_hot(b)
+        s = np.zeros(len(b), dtype="int64")
+        s[hot] = np.arange(int(hot.sum()), dtype="int64") % salt
+        b["__salt"] = s
+        return b
+
+    def salt_right(b: pd.DataFrame) -> pd.DataFrame:
+        hot = _is_hot(b)
+        cold = b[~hot].copy()
+        cold["__salt"] = np.int64(0)
+        hb = b[hot]
+        rep = hb.loc[hb.index.repeat(salt)].copy()
+        rep["__salt"] = np.tile(np.arange(salt, dtype="int64"), len(hb))
+        return pd.concat([cold, rep], ignore_index=True)
+
+    joined = partitioned_join(
+        left_ds.map_batches(salt_left, batch_format="pandas"),
+        right_ds.map_batches(salt_right, batch_format="pandas"),
+        on + ["__salt"], num_buckets=num_buckets, how="inner",
+    )
+    return joined.drop_columns(["__salt"])

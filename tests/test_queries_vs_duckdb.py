@@ -52,7 +52,7 @@ SQL_BACKED = [
     "events_distinct_users_kmv", "events_type_freq_mg",
     "events_value_quantiles", "events_latest_by_user",
     "customer_events_full_outer", "events_running_user",
-    "doc_rollup_lang_source",
+    "doc_rollup_lang_source", "doc_sample_per_lang",
 ]
 
 
@@ -139,7 +139,7 @@ def test_docs_query_matches_materialized_oracle(catalog, con, name):
 
 KG_SQL_BACKED = [
     "kg_triples", "kg_nodes", "kg_mentions",
-    "kg_triples_by_pred", "kg_nodes_by_etype",
+    "kg_triples_by_pred", "kg_nodes_by_etype", "kg_node_degrees",
 ]
 
 
@@ -220,3 +220,22 @@ def test_entry_smoke(ray_session):
     df = ds.to_pandas()
     assert len(df) > 0
     assert set(df.columns) >= {"subj_id", "pred", "obj_id", "support"}
+
+
+def test_kg_pagerank_matches_materialized_oracle(catalog, con):
+    """Distributed triple build + iterative integer PageRank vs the
+    dict-based serial oracle (oracle.materialized_kg_graph_path)."""
+    import os
+
+    from split_ner_ray.oracle import materialized_kg_graph_path
+
+    fn, sql = catalog["kg_pagerank"]
+    d = materialized_kg_graph_path(SF_DIR)
+    resolved = sql.format(pagerank=os.path.join(d, "pagerank.parquet"))
+    got = _norm(pd.DataFrame(fn(SF_DIR)))
+    want = _norm(con.sql(resolved).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        assert str(got[c].dtype) == str(want[c].dtype), (c, got[c].dtype)
+        assert got[c].tolist() == want[c].tolist(), f"column {c} differs"

@@ -860,3 +860,105 @@ def test_rollup_counts_matches_pandas(rd):
     top = got[got.level == 0]
     assert len(top) == 1 and top.iloc[0]["n"] == 2000
     assert top.iloc[0]["w"] == df["w"].sum()
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(rd):
+    from split_ner_ray.stages.relational import partitioned_join, salted_join
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    # ~70% of left rows hit one hot key; a second hot key and a cold tail
+    k = np.where(rng.random(n) < 0.7, 7, rng.integers(0, 50, size=n))
+    k[rng.random(n) < 0.05] = 13
+    left = pd.DataFrame({"k": k.astype("int64"),
+                         "lv": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 50, dtype="int64"),
+                          "rv": np.arange(1000, 1050, dtype="int64")})
+    plain = (
+        partitioned_join(rd.from_pandas(left), rd.from_pandas(right), ["k"])
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    salted = (
+        salted_join(rd.from_pandas(left).repartition(8), rd.from_pandas(right),
+                    ["k"], hot_keys=[7, 13], salt=4)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted[plain.columns.tolist()], plain)
+
+
+def test_salted_join_multicol_key(rd):
+    from split_ner_ray.stages.relational import partitioned_join, salted_join
+
+    left = pd.DataFrame({"a": [1, 1, 1, 2, 2], "b": ["x", "x", "y", "x", "z"],
+                         "lv": range(5)})
+    right = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "z"],
+                          "rv": [10, 20, 30]})
+    plain = (
+        partitioned_join(rd.from_pandas(left), rd.from_pandas(right), ["a", "b"])
+        .to_pandas().sort_values(["a", "b", "lv"]).reset_index(drop=True)
+    )
+    salted = (
+        salted_join(rd.from_pandas(left), rd.from_pandas(right), ["a", "b"],
+                    hot_keys=[(1, "x")], salt=3)
+        .to_pandas().sort_values(["a", "b", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted[plain.columns.tolist()], plain)
+
+
+def test_pagerank_regimes_identical(rd):
+    from split_ner_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(29)
+    m = 5000
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 800, size=m).astype("int64"),
+            "dst": rng.integers(0, 800, size=m).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(edges).repartition(6)
+    driver = (
+        pagerank(ds, iters=4).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    distributed = (
+        pagerank(ds, iters=4, small_graph_edges=0, num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(driver, distributed)
+
+    # string node ids (the KG's entity-id dtype) through BOTH regimes
+    sedges = edges.head(1500).astype(str).apply(lambda c: "e_" + c)
+    sds = rd.from_pandas(sedges).repartition(4)
+    sdriver = (
+        pagerank(sds, iters=3).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    sdist = (
+        pagerank(sds, iters=3, small_graph_edges=0, num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sdriver, sdist)
+
+
+def test_pagerank_hand_computed_chain(rd):
+    from split_ner_ray.stages.graph import PR_UNIT, pagerank
+
+    # a -> b -> c ; one iteration from uniform start:
+    #   b: base + 85% * (UNIT // 1); c: same; a: base (no in-edges)
+    edges = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+    out = (
+        pagerank(rd.from_pandas(edges), iters=1)
+        .to_pandas().set_index("node")["rank"]
+    )
+    base = (15 * PR_UNIT) // 100
+    assert out[1] == base
+    assert out[2] == base + (85 * PR_UNIT) // 100
+    assert out[3] == base + (85 * PR_UNIT) // 100
+    # two iterations: c's in-sum is b's 1-iter rank
+    out2 = (
+        pagerank(rd.from_pandas(edges), iters=2)
+        .to_pandas().set_index("node")["rank"]
+    )
+    r1_b = base + (85 * PR_UNIT) // 100
+    assert out2[2] == base + (85 * (base // 1)) // 100
+    assert out2[3] == base + (85 * r1_b) // 100
