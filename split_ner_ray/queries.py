@@ -2044,6 +2044,82 @@ FROM read_parquet('{pagerank}') ORDER BY entity_id
 QUERIES.update({"kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL)})
 
 
+def orders_bloom_semi(sf_dir: str):
+    """Orders carrying at least one high-quantity lineitem, via the
+    Bloom-filter semi-join: a ~512 KiB bitset of the qualifying lineitem
+    order keys prunes the orders scan in place, and only Bloom positives
+    enter the exact cogroup verify — the 100 TB alternative to shuffling
+    the whole fact table or collecting the key set on the driver."""
+    from .stages.relational import bloom_semi_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    rkeys = li.map_batches(
+        lambda b: b.loc[b["l_quantity"] >= 48, ["l_orderkey"]].rename(
+            columns={"l_orderkey": "o_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    out = bloom_semi_join(orders, rkeys, ["o_orderkey"], how="semi").to_pandas()
+    return pd.DataFrame(
+        {
+            "o_orderkey": out["o_orderkey"].astype("int64"),
+            "price_c": [_cents(v) for v in out["o_totalprice"]],
+        }
+    ).sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_BLOOM_SEMI_SQL = """
+SELECT o_orderkey, CAST(ROUND(100*o_totalprice) AS BIGINT) AS price_c
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+ORDER BY o_orderkey
+"""
+
+
+def customers_no_orders_bloom(sf_dir: str):
+    """Customers with no orders, via the Bloom ANTI join: Bloom negatives
+    are exact non-members and skip the shuffle entirely; only the
+    false-positive-prone sliver goes through the exact anti check."""
+    from .stages.relational import bloom_semi_join
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    okeys = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.loc[b["o_totalprice"] > 300000, ["o_custkey"]].rename(
+            columns={"o_custkey": "c_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    out = bloom_semi_join(cust, okeys, ["c_custkey"], how="anti").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": [], "c_nationkey": []})
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].astype("int64"),
+            "c_nationkey": out["c_nationkey"].astype("int64"),
+        }
+    ).sort_values("c_custkey").reset_index(drop=True)
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),
+        "customers_no_orders_bloom": (customers_no_orders_bloom, CUST_NO_ORDERS_SQL),
+    }
+)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """The driver-facing oracle-SQL dict: templates referencing the
     synthetic transcripts parquet are resolved (and the corpus

@@ -630,3 +630,112 @@ def salted_join(left_ds, right_ds, on: list[str], hot_keys, *, salt: int = 8,
         on + ["__salt"], num_buckets=num_buckets, how="inner",
     )
     return joined.drop_columns(["__salt"])
+
+
+# 16-byte keys for pd.util.hash_pandas_object: two independent hash
+# streams drive the Bloom filter's double hashing (h1 + i*h2).
+_BLOOM_KEY1 = "bloomfilterkey01"
+_BLOOM_KEY2 = "bloomfilterkey02"
+
+
+def _bloom_hashes(batch: pd.DataFrame, keys: list[str]):
+    norm = _normalize_keys(batch[keys])
+    h1 = pd.util.hash_pandas_object(norm, index=False, hash_key=_BLOOM_KEY1).to_numpy()
+    h2 = pd.util.hash_pandas_object(norm, index=False, hash_key=_BLOOM_KEY2).to_numpy()
+    # odd stride so the probe sequence cycles through all table slots
+    return h1, (h2 | np.uint64(1))
+
+
+def build_bloom(ds, on: list[str], *, bits: int = 1 << 22, probes: int = 4):
+    """Build a Bloom filter (packed uint64 bitset) of a dataset's key
+    columns. Each block emits one m/8-byte partial bitset; the driver ORs
+    them (a partial per BLOCK, not per row — at 2^22 bits that is 512 KiB
+    x block count; for 100 TB inputs raise the block size or interpose one
+    `repartition` level so the driver OR stays tree-shaped in cost)."""
+    mask64 = np.uint64(bits - 1) if bits & (bits - 1) == 0 else None
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(bits // 64, dtype=np.uint64)
+        h1, h2 = _bloom_hashes(batch, on)
+        for i in range(probes):
+            p = h1 + np.uint64(i) * h2
+            p = (p & mask64) if mask64 is not None else p % np.uint64(bits)
+            np.bitwise_or.at(arr, p >> np.uint64(6),
+                             np.uint64(1) << (p & np.uint64(63)))
+        return pd.DataFrame({"bits": [arr.tobytes()]})
+
+    merged = np.zeros(bits // 64, dtype=np.uint64)
+    for row in ds.map_batches(partial, batch_format="pandas").take_all():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return merged
+
+
+def bloom_semi_join(left_ds, right_ds, on: list[str], *, how: str = "semi",
+                    bits: int = 1 << 22, probes: int = 4, exact: bool = True,
+                    num_buckets: int = 32):
+    """Semi / anti join with a broadcast Bloom-filter pre-filter.
+
+    The 100 TB primitive the plain semi-join lacks: instead of shuffling
+    the ENTIRE left side into a partitioned join (or collecting the whole
+    right key set onto the driver for a broadcast), a ~512 KiB bitset of
+    the right side's keys is ray.put once and each left batch is pruned
+    in place — only Bloom-POSITIVE rows (true matches + the small
+    false-positive tail) enter the exact cogroup verify, so the shuffle
+    moves a selectivity-sized fraction of the input. Bloom negatives are
+    EXACT non-members, which makes the anti side precise too:
+
+    - how="semi": positives -> exact per-bucket semi merge (false
+      positives die there); result == ``left ⋉ right``.
+    - how="anti": Bloom negatives are emitted directly (no shuffle at
+      all for them); positives go through an exact anti check; result
+      == ``left ▷ right``.
+
+    ``exact=False`` skips the verify shuffle and returns the raw Bloom
+    survivors (semi only) — an approximate pre-filter stage for callers
+    that will verify downstream anyway.
+    """
+    import ray
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be semi|anti, got {how!r}")
+    bitset_ref = ray.put(build_bloom(right_ds, on, bits=bits, probes=probes))
+    mask64 = np.uint64(bits - 1) if bits & (bits - 1) == 0 else None
+
+    def _member_mask(batch: pd.DataFrame) -> np.ndarray:
+        bs = _small_frame(bitset_ref)
+        h1, h2 = _bloom_hashes(batch, on)
+        mask = np.ones(len(batch), dtype=bool)
+        for i in range(probes):
+            p = h1 + np.uint64(i) * h2
+            p = (p & mask64) if mask64 is not None else p % np.uint64(bits)
+            mask &= ((bs[p >> np.uint64(6)] >> (p & np.uint64(63)))
+                     & np.uint64(1)).astype(bool)
+        return mask
+
+    def keep_pos(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[_member_mask(batch)]
+
+    positives = left_ds.map_batches(keep_pos, batch_format="pandas")
+    if how == "semi" and not exact:
+        return positives
+
+    lcols = list(left_ds.schema().names)
+    rkeys = right_ds.select_columns(on)
+
+    def semi_bucket(group: pa.Table):
+        lt, rt = sides(group)
+        lg = lt.select(lcols).to_pandas()
+        rk = rt.select(on).to_pandas().drop_duplicates()
+        merged = lg.merge(rk, on=on, how="left", indicator=True)
+        keep = merged["_merge"] == ("both" if how == "semi" else "left_only")
+        return merged.loc[keep, lcols]
+
+    checked = cogroup(positives, rkeys, on, semi_bucket, num_buckets=num_buckets)
+    if how == "semi":
+        return checked
+
+    def keep_neg(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~_member_mask(batch)]
+
+    negatives = left_ds.map_batches(keep_neg, batch_format="pandas")
+    return negatives.union(checked)

@@ -962,3 +962,56 @@ def test_pagerank_hand_computed_chain(rd):
     r1_b = base + (85 * PR_UNIT) // 100
     assert out2[2] == base + (85 * (base // 1)) // 100
     assert out2[3] == base + (85 * r1_b) // 100
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi/anti join (stages/relational.py bloom_semi_join)
+# ---------------------------------------------------------------------------
+
+def test_bloom_semi_anti_exact_under_false_positives(rd):
+    """bits=64 forces heavy Bloom false positives; the exact cogroup
+    verify must still produce the precise semi/anti sets."""
+    from split_ner_ray.stages.relational import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 600), "v": np.arange(600)})
+    right = pd.DataFrame({"k": rng.integers(0, 1000, 80)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    rset = set(right["k"])
+
+    semi = bloom_semi_join(lds, rds, ["k"], bits=64, probes=2,
+                           num_buckets=4).to_pandas()
+    want_semi = left[left["k"].isin(rset)]
+    assert sorted(semi["v"]) == sorted(want_semi["v"])
+
+    anti = bloom_semi_join(lds, rds, ["k"], how="anti", bits=64, probes=2,
+                           num_buckets=4).to_pandas()
+    want_anti = left[~left["k"].isin(rset)]
+    assert sorted(anti["v"]) == sorted(want_anti["v"])
+    # partition: every left row lands in exactly one side
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_bloom_negatives_are_exact_nonmembers(rd):
+    """Bloom guarantees no false negatives: with exact=False every true
+    member survives the pre-filter (survivors is a superset)."""
+    from split_ner_ray.stages.relational import bloom_semi_join
+
+    left = pd.DataFrame({"k": np.arange(500), "v": np.arange(500)})
+    right = pd.DataFrame({"k": np.arange(0, 500, 7)})
+    surv = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"],
+        bits=256, probes=3, exact=False,
+    ).to_pandas()
+    assert set(range(0, 500, 7)) <= set(surv["k"])
+
+
+def test_bloom_multi_column_and_string_keys(rd):
+    from split_ner_ray.stages.relational import bloom_semi_join
+
+    left = pd.DataFrame({
+        "a": ["x", "y", "z", "x", "y"], "b": [1, 2, 3, 4, 2], "v": range(5)})
+    right = pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
+    out = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                          ["a", "b"], num_buckets=2).to_pandas()
+    assert sorted(out["v"]) == [0, 1, 4]
