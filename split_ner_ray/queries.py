@@ -2112,10 +2112,46 @@ ORDER BY c_custkey
 """
 
 
+def doc_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document (stages/text.tfidf_topk): batch-local
+    TF, one bucketed DF aggregate broadcast back, one bucketed per-doc
+    top-k+rank pass. Ranking key is tf/df as an IEEE double of two int64s
+    (bit-identical in DuckDB), tie-broken by token — so the hash check is
+    exact with integer-only output columns."""
+    from .stages.text import tfidf_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = tfidf_topk(ds, k=3).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+DOC_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.tok
+         ) AS rank
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df
+FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 QUERIES.update(
     {
         "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),
         "customers_no_orders_bloom": (customers_no_orders_bloom, CUST_NO_ORDERS_SQL),
+        "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),
     }
 )
 

@@ -144,3 +144,64 @@ def add_fingerprint(ds, text_col: str = "text", ngram: int = 3,
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, num_buckets: int = 64, broadcast_df: bool = True):
+    """Per-document top-k TF-IDF terms, exact-integer checkable.
+
+    Shape (3 passes over token rows, no global sort):
+    1. TF: each input row is one whole document, so a per-batch
+       lowercase-split + explode + groupby((id, tok)) count is globally
+       correct with NO shuffle.
+    2. DF: one bucketed hash_aggregate over the (id, tok) rows counts
+       documents per token. The result is VOCABULARY-sized; by default it
+       is driver-collected and broadcast (ray.put once, worker-cached)
+       onto the TF rows — at a vocabulary too large to broadcast, pass
+       broadcast_df=False for a partitioned join on tok instead.
+    3. One bucketed pass on id co-locates each document's scored terms
+       and fuses top-k + rank assignment (vectorized over every doc in
+       the bucket).
+
+    Ranking key is the ratio tf/df as an IEEE double of two int64s —
+    bit-identical in any engine, so the DuckDB oracle can reproduce the
+    ordering exactly — with the token string as tie-break. Output rows
+    (id, rank, tok, tf, df) are all integers/strings: no float hashing.
+    """
+    from .relational import broadcast_join, hash_aggregate, partitioned_join
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.split()
+        e = pd.DataFrame(
+            {id_col: batch[id_col].repeat(toks.str.len()), "tok": toks.explode()}
+        )
+        out = e.groupby([id_col, "tok"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "tf"}).astype({"tf": "int64"})
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+
+    def df_agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tok", as_index=False).size()
+        return out.rename(columns={"size": "df"}).astype({"df": "int64"})
+
+    # each (id, tok) pair appears exactly once in tf, so a row count per
+    # tok IS the document frequency
+    df_ds = hash_aggregate(tf.select_columns(["tok"]), ["tok"], df_agg,
+                           num_buckets=num_buckets)
+
+    if broadcast_df:
+        scored = broadcast_join(tf, df_ds.to_pandas(), ["tok"])
+    else:
+        scored = partitioned_join(tf, df_ds, ["tok"], num_buckets=num_buckets)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            __s=g["tf"].to_numpy(dtype="float64") / g["df"].to_numpy(dtype="float64")
+        )
+        g = g.sort_values([id_col, "__s", "tok"], ascending=[True, False, True],
+                          kind="mergesort")
+        g = g.groupby(id_col, sort=False).head(k)
+        g = g.assign(rank=(g.groupby(id_col, sort=False).cumcount() + 1).astype("int64"))
+        return g[[id_col, "rank", "tok", "tf", "df"]]
+
+    return hash_aggregate(scored, [id_col], per_doc, num_buckets=num_buckets)

@@ -1015,3 +1015,46 @@ def test_bloom_multi_column_and_string_keys(rd):
     out = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
                           ["a", "b"], num_buckets=2).to_pandas()
     assert sorted(out["v"]) == [0, 1, 4]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k (stages/text.py tfidf_topk)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_topk_hand_fixture(rd):
+    from split_ner_ray.stages.text import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana", "banana cherry", "cherry apple date"],
+    })
+    out = tfidf_topk(rd.from_pandas(docs), k=2, num_buckets=4).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    # doc 1: apple tf=2 df=2 -> 1.0 ; banana tf=1 df=2 -> 0.5
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["tok"]) == ["apple", "banana"]
+    assert list(d1["tf"]) == [2, 1] and list(d1["df"]) == [2, 2]
+    # doc 3: date tf=1 df=1 -> 1.0 beats apple/cherry (0.5); tie apple<cherry
+    d3 = out[out["doc_id"] == 3]
+    assert list(d3["tok"]) == ["date", "apple"]
+    assert list(d3["rank"]) == [1, 2]
+
+
+def test_tfidf_broadcast_vs_partitioned_df(rd):
+    from split_ner_ray.stages.text import tfidf_topk
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "text": [" ".join(rng.choice(vocab, rng.integers(3, 15)))
+                 for _ in range(60)],
+    })
+    a = tfidf_topk(rd.from_pandas(docs), k=3, num_buckets=8,
+                   broadcast_df=True).to_pandas()
+    b = tfidf_topk(rd.from_pandas(docs), k=3, num_buckets=8,
+                   broadcast_df=False).to_pandas()
+    key = ["doc_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
