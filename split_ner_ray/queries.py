@@ -2147,11 +2147,71 @@ FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def kg_entity_cooc(sf_dir: str):
+    """Entity co-occurrence statistics over the KG mentions: top-50
+    same-turn (surface, etype) pairs with PMI-ready integer counts (pair
+    count + each side's turn-marginal; consumers divide, so the hash
+    check stays float-free). stages/graph.cooccurrence_pairs: bucketed
+    per-turn self-merge partials, one aggregate on the pair key; the
+    vocabulary-bounded marginals table is broadcast back."""
+    from .stages.extract import detect_and_classify, flatten_mentions
+    from .stages.graph import cooccurrence_pairs, group_item_marginals
+    from .stages.relational import broadcast_join, topk
+
+    m = flatten_mentions(
+        detect_and_classify(_transcripts_ds(sf_dir), concurrency=(1, 4))
+    )
+    gk, ik = ["conv_id", "turn_idx"], ["surface", "etype"]
+    pairs = cooccurrence_pairs(m, gk, ik, num_buckets=32)
+    marg = group_item_marginals(m, gk, ik, num_buckets=32).to_pandas()
+    m1 = marg.rename(columns={"surface": "surface_1", "etype": "etype_1", "n": "n_1"})
+    m2 = marg.rename(columns={"surface": "surface_2", "etype": "etype_2", "n": "n_2"})
+    joined = broadcast_join(
+        broadcast_join(pairs, m1, ["surface_1", "etype_1"]),
+        m2, ["surface_2", "etype_2"],
+    )
+    out = topk(
+        joined,
+        [("n_pair", True), ("surface_1", False), ("etype_1", False),
+         ("surface_2", False), ("etype_2", False)],
+        50,
+    ).to_pandas()
+    cols = ["surface_1", "etype_1", "surface_2", "etype_2", "n_pair", "n_1", "n_2"]
+    return out[cols].astype({"n_pair": "int64", "n_1": "int64", "n_2": "int64"})
+
+
+KG_COOC_SQL = """
+WITH dm AS (
+  SELECT DISTINCT conv_id, turn_idx, surface, etype
+  FROM read_parquet('{mentions}')
+), pairs AS (
+  SELECT a.surface AS surface_1, a.etype AS etype_1,
+         b.surface AS surface_2, b.etype AS etype_2,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM dm a JOIN dm b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND (a.surface < b.surface
+        OR (a.surface = b.surface AND a.etype < b.etype))
+  GROUP BY 1, 2, 3, 4
+), marg AS (
+  SELECT surface, etype, CAST(COUNT(*) AS BIGINT) AS n FROM dm GROUP BY 1, 2
+)
+SELECT surface_1, etype_1, surface_2, etype_2, n_pair,
+       m1.n AS n_1, m2.n AS n_2
+FROM pairs
+JOIN marg m1 ON surface_1 = m1.surface AND etype_1 = m1.etype
+JOIN marg m2 ON surface_2 = m2.surface AND etype_2 = m2.etype
+ORDER BY n_pair DESC, surface_1, etype_1, surface_2, etype_2
+LIMIT 50
+"""
+
+
 QUERIES.update(
     {
         "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),
         "customers_no_orders_bloom": (customers_no_orders_bloom, CUST_NO_ORDERS_SQL),
         "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),
+        "kg_entity_cooc": (kg_entity_cooc, KG_COOC_SQL),
     }
 )
 

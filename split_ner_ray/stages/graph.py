@@ -343,3 +343,72 @@ def pagerank(edges_ds, *, iters: int = 10, d_pct: int = 85,
             ["node"], new_rank, num_buckets=num_buckets,
         ).materialize()
     return ranks
+
+
+def cooccurrence_pairs(ds, group_keys: list[str], item_keys: list[str], *,
+                       num_buckets: int = 64):
+    """Unordered co-occurrence pair counts: for every group (e.g. a
+    conversation turn), every lexicographically-ordered pair of DISTINCT
+    items in it, counted across all groups — the edge-weight builder for
+    co-occurrence graphs / PMI statistics.
+
+    Shape: one bucketed shuffle on ``group_keys`` co-locates each group;
+    per bucket, ONE vectorized dedup + self-merge handles every group at
+    once (no per-group dispatch), emitting partial pair counts; a second
+    bucketed aggregate on the pair key sums partials. Integer counts only
+    — downstream PMI/log-lift stays exact-checkable (consumers divide).
+
+    Partitioning assumption (same as sessionize): one group's distinct
+    items fit in a bucket worker; a group with k items emits O(k^2)
+    pairs, so cap pathological groups upstream (cf. the star-edge cap in
+    dedup's LSH buckets).
+    """
+    from .relational import hash_aggregate
+
+    i1 = [f"{c}_1" for c in item_keys]
+    i2 = [f"{c}_2" for c in item_keys]
+
+    def per_group_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(group_keys + item_keys)
+        mm = d.merge(d, on=group_keys, suffixes=("_1", "_2"))
+        # strict lexicographic order over the item key tuple: each
+        # unordered pair once, self-pairs excluded
+        lt = np.zeros(len(mm), dtype=bool)
+        eq = np.ones(len(mm), dtype=bool)
+        for a, b in zip(i1, i2):
+            av, bv = mm[a].to_numpy(), mm[b].to_numpy()
+            lt |= eq & (av < bv)
+            eq &= av == bv
+        p = mm[lt].groupby(i1 + i2, as_index=False).size()
+        return p.rename(columns={"size": "n_pair"}).astype({"n_pair": "int64"})
+
+    partials = hash_aggregate(ds.select_columns(group_keys + item_keys),
+                              group_keys, per_group_bucket,
+                              num_buckets=num_buckets)
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(i1 + i2, as_index=False)["n_pair"].sum()
+        return out.astype({"n_pair": "int64"})
+
+    return hash_aggregate(partials, i1 + i2, sum_pairs, num_buckets=num_buckets)
+
+
+def group_item_marginals(ds, group_keys: list[str], item_keys: list[str], *,
+                         num_buckets: int = 64):
+    """Number of groups each item occurs in (the PMI marginal): bucketed
+    per-group dedup partials, then one aggregate on the item key."""
+    from .relational import hash_aggregate
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(group_keys + item_keys)
+        out = d.groupby(item_keys, as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    partials = hash_aggregate(ds.select_columns(group_keys + item_keys),
+                              group_keys, dedup_bucket, num_buckets=num_buckets)
+
+    def sum_items(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(item_keys, as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    return hash_aggregate(partials, item_keys, sum_items, num_buckets=num_buckets)

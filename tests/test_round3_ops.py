@@ -1058,3 +1058,49 @@ def test_tfidf_broadcast_vs_partitioned_df(rd):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence pairs / marginals (stages/graph.py)
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_pairs_hand_fixture(rd):
+    from split_ner_ray.stages.graph import cooccurrence_pairs, group_item_marginals
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 1],
+        "item": ["a", "b", "c", "a", "b", "a", "a"],  # g=1 has dup 'a'
+    })
+    pairs = cooccurrence_pairs(rd.from_pandas(df), ["g"], ["item"],
+                               num_buckets=4).to_pandas()
+    got = {(r.item_1, r.item_2): r.n_pair for r in pairs.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    marg = group_item_marginals(rd.from_pandas(df), ["g"], ["item"],
+                                num_buckets=4).to_pandas()
+    gm = dict(zip(marg["item"], marg["n"]))
+    assert gm == {"a": 3, "b": 2, "c": 1}
+
+
+def test_cooccurrence_batching_invariant(rd):
+    """Groups split across input blocks must still pair correctly (the
+    bucketed shuffle re-unites them; nothing relies on batch locality)."""
+    from split_ner_ray.stages.graph import cooccurrence_pairs
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 30, 400),
+        "item": rng.choice([f"i{j}" for j in range(12)], 400),
+    })
+    # python oracle
+    from itertools import combinations
+    from collections import Counter
+    want = Counter()
+    for _, grp in df.drop_duplicates().groupby("g"):
+        for a, b in combinations(sorted(grp["item"].unique()), 2):
+            want[(a, b)] += 1
+
+    ds = rd.from_pandas(df).repartition(13)
+    pairs = cooccurrence_pairs(ds, ["g"], ["item"], num_buckets=8).to_pandas()
+    got = {(r.item_1, r.item_2): r.n_pair for r in pairs.itertuples()}
+    assert got == dict(want)
