@@ -2206,12 +2206,45 @@ LIMIT 50
 """
 
 
+def kg_triangles(sf_dir: str):
+    """Exact triangle count of the KG entity graph (undirected distinct
+    subj-obj edges), via stages/graph.triangle_count's degree-ordered
+    wedge-closure — checked against a DuckDB 3-way self-join over the
+    materialized serial-oracle triples."""
+    from .pipelines.kg import build_graph_datasets
+    from .stages.graph import triangle_count
+
+    triples, _n, _e, _m = build_graph_datasets(
+        _transcripts_ds(sf_dir), concurrency=(1, 4)
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["subj_id"], "dst": b["obj_id"]})
+
+    n = triangle_count(
+        triples.map_batches(to_edges, batch_format="pandas"), num_buckets=32
+    )
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+KG_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT LEAST(subj_id, obj_id) AS u, GREATEST(subj_id, obj_id) AS v
+  FROM read_parquet('{triples}') WHERE subj_id <> obj_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e ab JOIN e bc ON ab.v = bc.u
+          JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+"""
+
+
 QUERIES.update(
     {
         "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),
         "customers_no_orders_bloom": (customers_no_orders_bloom, CUST_NO_ORDERS_SQL),
         "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),
         "kg_entity_cooc": (kg_entity_cooc, KG_COOC_SQL),
+        "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     }
 )
 

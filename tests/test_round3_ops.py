@@ -1104,3 +1104,40 @@ def test_cooccurrence_batching_invariant(rd):
     pairs = cooccurrence_pairs(ds, ["g"], ["item"], num_buckets=8).to_pandas()
     got = {(r.item_1, r.item_2): r.n_pair for r in pairs.itertuples()}
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (stages/graph.py triangle_count)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,m,bcast", [(20, 60, True), (50, 200, True),
+                                        (40, 120, False)])
+def test_triangle_count_vs_bruteforce(rd, n, m, bcast):
+    from itertools import combinations
+
+    from split_ner_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(n + m)
+    e = pd.DataFrame({"src": rng.integers(0, n, m),
+                      "dst": rng.integers(0, n, m)})
+    adj = set()
+    for s, d in zip(e["src"], e["dst"]):
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    nodes = sorted({x for p in adj for x in p})
+    want = sum(1 for a, b, c in combinations(nodes, 3)
+               if (a, b) in adj and (b, c) in adj and (a, c) in adj)
+    got = triangle_count(rd.from_pandas(e).repartition(5), num_buckets=8,
+                         broadcast_degrees=bcast)
+    assert got == want
+
+
+def test_triangle_count_known_graphs(rd):
+    from split_ner_ray.stages.graph import triangle_count
+
+    # K4 = 4 triangles; plus a dangling path adds none; duplicate and
+    # reversed edges must not double-count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 10), (10, 11)] + [(b, a) for a, b in k4]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    assert triangle_count(rd.from_pandas(df), num_buckets=4) == 4
