@@ -2249,6 +2249,23 @@ QUERIES.update(
 )
 
 
+def events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events (fixed 4 KiB state
+    at any input size; register-max merge makes the estimate identical
+    at any parallelism). Approximate by construction, so no SQL hash
+    check — the driver sees rows-only; pytest bounds the error vs the
+    exact count and proves batching invariance
+    (tests/test_round3_ops.py::test_hll_*)."""
+    from .stages.sketch import hll_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"distinct_users_est": pd.array([est], dtype="int64")})
+
+
+QUERIES.update({"events_hll_users": (events_hll_users, None)})
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """The driver-facing oracle-SQL dict: templates referencing the
     synthetic transcripts parquet are resolved (and the corpus

@@ -219,3 +219,62 @@ def approx_quantiles_by(ds, col: str, by: str, qs: list[float],
     out = pd.DataFrame(rows)
     out["q_mille"] = out["q_mille"].astype("int64")
     return out.sort_values(["by", "q_mille"]).reset_index(drop=True)
+
+
+def hll_partials(ds, col: str, *, p: int = 12):
+    """Per-batch HyperLogLog register partial: m = 2^p uint8 registers,
+    register j = max over the batch's hashes landing in j of
+    (1 + leading-zero count of the remaining 64-p bits). One m-byte row
+    per batch regardless of batch size."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash_col(batch.column(col).to_pylist())
+        regs = np.zeros(m, dtype=np.uint8)
+        if len(h):
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+            # rho = 1 + count of leading zeros in the top 64-p bits;
+            # the OR above plants a stop bit so rho <= 64-p+1
+            rho = np.zeros(len(h), dtype=np.uint8)
+            probe = np.uint64(1) << np.uint64(63)
+            alive = np.ones(len(h), dtype=bool)
+            r = 1
+            while alive.any() and r <= 64 - p + 1:
+                hit = alive & ((rest & probe) != 0)
+                rho[hit] = r
+                alive &= ~hit
+                probe >>= np.uint64(1)
+                r += 1
+            np.maximum.at(regs, idx, rho)
+        return pa.table({"hll": pa.array([regs], type=pa.list_(pa.uint8()))})
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard bias-corrected HLL estimator with the small-range
+    linear-counting correction (deterministic given the registers)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return int(round(e))
+
+
+def hll_distinct(ds, col: str, *, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog: fixed 2^p-byte
+    state however large the input (KMV's memory grows with k for the
+    same error; HLL's ~1.04/sqrt(m) error costs 4 KiB at p=12). The
+    driver merge is an elementwise register max — associative and
+    commutative, so the estimate is IDENTICAL at any batching or
+    parallelism. Error bounds are pytest-verified (no SQL hash check:
+    the estimator is approximate by construction; exact-path companion
+    is sketch.approx_distinct / KMV below capacity)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for row in hll_partials(ds, col, p=p).take_all():
+        regs = np.maximum(regs, np.asarray(row["hll"], dtype=np.uint8))
+    return hll_estimate(regs)

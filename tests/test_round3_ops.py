@@ -1141,3 +1141,37 @@ def test_triangle_count_known_graphs(rd):
     edges = k4 + [(3, 10), (10, 11)] + [(b, a) for a, b in k4]
     df = pd.DataFrame(edges, columns=["src", "dst"])
     assert triangle_count(rd.from_pandas(df), num_buckets=4) == 4
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (stages/sketch.py hll_distinct)
+# ---------------------------------------------------------------------------
+
+def test_hll_error_bound_and_batching_invariance(rd):
+    from split_ner_ray.stages.sketch import hll_distinct
+
+    n = 50_000
+    df = pd.DataFrame({"k": [f"user-{i}" for i in range(n)]})
+    est1 = hll_distinct(rd.from_pandas(df), "k", p=12)
+    # ~1.04/sqrt(4096) = 1.6% std error; 5% is a >3-sigma margin
+    assert abs(est1 - n) / n < 0.05
+    est2 = hll_distinct(rd.from_pandas(df).repartition(17), "k", p=12)
+    assert est1 == est2  # register max is associative: batching-invariant
+
+
+def test_hll_duplicates_do_not_inflate(rd):
+    from split_ner_ray.stages.sketch import hll_distinct
+
+    base = pd.DataFrame({"k": [f"u{i}" for i in range(2000)]})
+    dup = pd.concat([base] * 5, ignore_index=True)
+    assert (hll_distinct(rd.from_pandas(base), "k")
+            == hll_distinct(rd.from_pandas(dup), "k"))
+
+
+def test_hll_small_range_linear_counting(rd):
+    from split_ner_ray.stages.sketch import hll_distinct
+
+    df = pd.DataFrame({"k": [f"v{i}" for i in range(30)]})
+    est = hll_distinct(rd.from_pandas(df), "k", p=12)
+    # linear-counting regime is near-exact at tiny cardinality
+    assert abs(est - 30) <= 1
