@@ -2266,6 +2266,74 @@ def events_hll_users(sf_dir: str):
 QUERIES.update({"events_hll_users": (events_hll_users, None)})
 
 
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish subword-piece counts per document (stages/text
+    add_bpe_token_counts; the brief's 'whitespace + a BPE-ish regex'
+    token-counting op — the whitespace half is doc_token_counts). The
+    ASCII-class pattern is shared verbatim with the RE2 oracle."""
+    from .stages.text import add_bpe_token_counts
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = (
+        add_bpe_token_counts(ds)
+        .select_columns(["doc_id", "n_bpe_tokens"])
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_BPE_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def events_value_stats(sf_dir: str):
+    """Per-event-type n / sum / sum-of-squares of value in integer cents
+    (variance & stddev are consumer-side divisions, so the hash check is
+    float-free): per-batch integer partials, one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(batch["value"].to_numpy(dtype="float64") * 100).astype("int64")
+        g = pd.DataFrame({"event_type": batch["event_type"], "s": c, "s2": c * c})
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum"), s2=("s2", "sum")
+        )
+        return out.astype({"n": "int64", "s": "int64", "s2": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="sum_c"),
+                   Sum("s2", alias_name="sumsq_c"))
+        .to_pandas()
+    )
+    agg = agg.astype({"n": "int64", "sum_c": "int64", "sumsq_c": "int64"})
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(100*value) AS BIGINT)) AS BIGINT) AS sum_c,
+       CAST(SUM(CAST(ROUND(100*value) AS BIGINT) * CAST(ROUND(100*value) AS BIGINT)) AS BIGINT) AS sumsq_c
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
+        "events_value_stats": (events_value_stats, EVENTS_VALUE_STATS_SQL),
+    }
+)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """The driver-facing oracle-SQL dict: templates referencing the
     synthetic transcripts parquet are resolved (and the corpus

@@ -205,3 +205,29 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return g[[id_col, "rank", "tok", "tf", "df"]]
 
     return hash_aggregate(scored, [id_col], per_doc, num_buckets=num_buckets)
+
+
+# GPT-2-style pretokenizer shape, restricted to ASCII classes so Python
+# re and DuckDB's RE2 (regexp_extract_all) agree exactly: a leading
+# optional space glued to a letter-run / digit-run / punct-run. The
+# branches have disjoint first characters, so leftmost-first (re) and
+# any alternation order RE2 picks yield the same match set.
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+BPE_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def add_bpe_token_counts(ds, text_col: str = "text",
+                         out_col: str = "n_bpe_tokens"):
+    """BPE-ish subword-piece counts (the driver brief's 'whitespace + a
+    BPE-ish regex' token-counting op; whitespace counting is
+    add_token_counts). One compiled-regex findall per doc, vectorized by
+    batch via pandas str.count."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = (
+            batch[text_col].str.count(_BPE_RE).fillna(0).astype("int64")
+        )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1175,3 +1175,46 @@ def test_hll_small_range_linear_counting(rd):
     est = hll_distinct(rd.from_pandas(df), "k", p=12)
     # linear-counting regime is near-exact at tiny cardinality
     assert abs(est - 30) <= 1
+
+
+# ---------------------------------------------------------------------------
+# JSONL / CSV sources (sources/textio.py)
+# ---------------------------------------------------------------------------
+
+def test_jsonl_roundtrip_matches_parquet(rd, tmp_path):
+    import pyarrow.parquet as pq
+
+    from split_ner_ray.sources.textio import (read_documents_csv,
+                                              read_documents_jsonl,
+                                              write_documents_jsonl)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    want = pq.read_table(src).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    out = tmp_path / "docs_jsonl"
+    write_documents_jsonl(rd.read_parquet(src), str(out))
+    got = (read_documents_jsonl(str(out)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    pruned = read_documents_jsonl(str(out), columns=["doc_id", "text"]).to_pandas()
+    assert sorted(pruned.columns) == ["doc_id", "text"]
+
+    csv = tmp_path / "docs.csv"
+    want[["doc_id", "lang", "n_chars"]].to_csv(csv, index=False)
+    got_csv = (read_documents_csv(str(csv)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got_csv, want[["doc_id", "lang", "n_chars"]])
+
+
+def test_bpe_token_counts_hand_fixture(rd):
+    from split_ner_ray.stages.text import add_bpe_token_counts
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["Hello, world!", "2015-ish v2.0", ""]})
+    out = add_bpe_token_counts(rd.from_pandas(df)).to_pandas()
+    out = out.sort_values("doc_id")
+    # "Hello, world!" -> Hello | , | ' world' | !  = 4
+    # "2015-ish v2.0" -> 2015 | - | ish | ' v' | 2 | . | 0 = 7
+    assert list(out["n_bpe_tokens"]) == [4, 7, 0]
