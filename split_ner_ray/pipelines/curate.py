@@ -1,0 +1,47 @@
+"""End-to-end document-curation pipeline: the composition a training-data
+user actually runs — quality filter, exact dedup, language-ID, token
+counts, partitioned parquet output.
+
+Stage order is the 100 TB order: the cheap vectorized quality filter
+prunes FIRST (rows never reach the shuffle), exact dedup then moves only
+(md5, id) pairs of survivors through one bucketed aggregate, and the
+Bloom semi-join ships a ~512 KiB bitset of keeper ids instead of
+shuffling the corpus against the keeper table. Everything streams — the
+only driver-sized object is the Bloom bitset.
+
+No single reference analog: composes M10/M13 (tag filter / cleaner,
+SURVEY §2.3) with the engine's training-data ops (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..stages.dedup import exact_dedup
+from ..stages.relational import bloom_semi_join
+from ..stages.text import add_bpe_token_counts, add_langid, add_quality_stats
+
+
+def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     out_dir: str | None = None):
+    """Return the curated documents Dataset: quality-passing, exactly
+    deduplicated (min-id keeper per content hash), annotated with
+    lang_pred / token counts. With ``out_dir``, also stream the result to
+    parquet partitioned by lang_pred (one directory per language —
+    resumable, and downstream per-language reads prune at the directory
+    level)."""
+    quality = add_quality_stats(ds, text_col).map_batches(
+        lambda b: b[b["is_quality"] == 1], batch_format="pandas"
+    )
+    keepers = exact_dedup(quality, id_col=id_col, text_col=text_col)
+
+    def keep_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b["keep_id"].astype("int64")})
+
+    kept = bloom_semi_join(
+        quality, keepers.map_batches(keep_ids, batch_format="pandas"), [id_col]
+    )
+    curated = add_bpe_token_counts(add_langid(kept, text_col), text_col)
+    if out_dir is not None:
+        curated.write_parquet(out_dir, partition_cols=["lang_pred"])
+    return curated

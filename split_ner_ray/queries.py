@@ -2326,10 +2326,74 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def docs_curation_funnel(sf_dir: str):
+    """The end-to-end curation pipeline (pipelines/curate.py) summarized
+    as a SQL-checkable funnel: per-language kept-document counts and
+    token totals after quality filter + exact dedup. The oracle composes
+    the already-verified DOC_QUALITY / DEDUP_EXACT / DOC_LANGID /
+    DOC_BPE_TOKENS SQL semantics in one statement."""
+    from ray.data.aggregate import Sum
+
+    from .pipelines.curate import curate_documents
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    curated = curate_documents(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("lang_pred", as_index=False).agg(
+            n_docs=("doc_id", "size"), bpe_tokens=("n_bpe_tokens", "sum")
+        )
+        return out.astype({"n_docs": "int64", "bpe_tokens": "int64"})
+
+    agg = (
+        curated.map_batches(partial, batch_format="pandas")
+        .groupby("lang_pred")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("bpe_tokens", alias_name="bpe_tokens"))
+        .to_pandas()
+    )
+    agg = agg.astype({"n_docs": "int64", "bpe_tokens": "int64"})
+    return agg.sort_values("lang_pred").reset_index(drop=True)
+
+
+CURATION_FUNNEL_SQL = """
+WITH quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE (CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10
+    AND 5 * (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g'))) <= len(text)
+), kept AS (
+  SELECT doc_id, text FROM quality
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+), langed AS (
+  SELECT doc_id,
+    CASE
+      WHEN en >= 1 AND en >= de AND en >= fr AND en >= es THEN 'en'
+      WHEN de >= 1 AND de > en AND de >= fr AND de >= es THEN 'de'
+      WHEN fr >= 1 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+      WHEN es >= 1 AND es > en AND es > de AND es > fr THEN 'es'
+      ELSE 'und' END AS lang_pred,
+    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
+      AS n_bpe
+  FROM (
+    SELECT doc_id, text,
+      len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN ('the','a','value','row'))) AS en,
+      len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN ('der','die','und','table'))) AS de,
+      len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN ('le','la','et','join'))) AS fr,
+      len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> lower(x) IN ('el','los','y','query'))) AS es
+    FROM kept)
+)
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
+FROM langed GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
 QUERIES.update(
     {
         "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
         "events_value_stats": (events_value_stats, EVENTS_VALUE_STATS_SQL),
+        "docs_curation_funnel": (docs_curation_funnel, CURATION_FUNNEL_SQL),
     }
 )
 

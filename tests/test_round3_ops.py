@@ -1218,3 +1218,29 @@ def test_bpe_token_counts_hand_fixture(rd):
     # "Hello, world!" -> Hello | , | ' world' | !  = 4
     # "2015-ish v2.0" -> 2015 | - | ish | ' v' | 2 | . | 0 = 7
     assert list(out["n_bpe_tokens"]) == [4, 7, 0]
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline (pipelines/curate.py)
+# ---------------------------------------------------------------------------
+
+def test_curate_documents_end_to_end(rd, tmp_path):
+    from split_ner_ray.pipelines.curate import curate_documents
+
+    good = " ".join(["the quick brown fox jumps over the lazy dog ok"] * 2)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good, good,            # exact dupes: keep doc 1
+                 "short",               # fails quality (<10 tokens)
+                 good + " extra"],      # unique, passes
+    })
+    out_dir = tmp_path / "curated"
+    cur = curate_documents(rd.from_pandas(docs), out_dir=str(out_dir)).to_pandas()
+    assert sorted(cur["doc_id"]) == [1, 4]
+    assert set(cur.columns) >= {"doc_id", "text", "lang_pred", "n_bpe_tokens"}
+    # partitioned layout: one directory per predicted language
+    import ray.data as rdm
+    back = rdm.read_parquet(str(out_dir)).to_pandas()
+    assert sorted(back["doc_id"]) == [1, 4]
+    assert (out_dir / "lang_pred=en").exists() or any(
+        p.name.startswith("lang_pred=") for p in out_dir.iterdir())
