@@ -2389,11 +2389,60 @@ FROM langed GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
+def doc_bigrams_topk(sf_dir: str):
+    """Corpus-wide top-20 lowercased word bigrams (the n-gram table op):
+    per-batch vectorized bigram counts (shifted-array pairing, no Python
+    token loop), one bucketed aggregate, tie-safe top-k."""
+    from .stages.relational import hash_aggregate, topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass: explode keeps the source-row index, so a
+        # shifted same-row mask pairs adjacent tokens without crossing
+        # document boundaries
+        e = batch["text"].str.lower().str.strip().str.split().explode().dropna()
+        if len(e) < 2:
+            return pd.DataFrame({"bigram": pd.array([], dtype="string"),
+                                 "n": pd.array([], dtype="int64")})
+        idx = e.index.to_numpy()
+        vals = e.to_numpy(dtype=str)
+        same = idx[:-1] == idx[1:]
+        bg = np.char.add(np.char.add(vals[:-1][same], " "), vals[1:][same])
+        out = pd.Series(bg).value_counts().rename_axis("bigram").reset_index(name="n")
+        return out.astype({"n": "int64"})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    counts = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                            ["bigram"], agg)
+    top = topk(counts, [("n", True), ("bigram", False)], 20).to_pandas()
+    return top[["bigram", "n"]].astype({"n": "int64"}).reset_index(drop=True)
+
+
+DOC_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) > 1
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
 QUERIES.update(
     {
         "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
         "events_value_stats": (events_value_stats, EVENTS_VALUE_STATS_SQL),
         "docs_curation_funnel": (docs_curation_funnel, CURATION_FUNNEL_SQL),
+        "doc_bigrams_topk": (doc_bigrams_topk, DOC_BIGRAMS_SQL),
     }
 )
 

@@ -1244,3 +1244,29 @@ def test_curate_documents_end_to_end(rd, tmp_path):
     assert sorted(back["doc_id"]) == [1, 4]
     assert (out_dir / "lang_pred=en").exists() or any(
         p.name.startswith("lang_pred=") for p in out_dir.iterdir())
+
+
+# ---------------------------------------------------------------------------
+# Parquet compaction (maintenance.py)
+# ---------------------------------------------------------------------------
+
+def test_compact_parquet_coalesces_small_files(rd, tmp_path):
+    import pyarrow.parquet as pq
+
+    from split_ner_ray.maintenance import compact_parquet
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    frag = tmp_path / "fragmented"
+    rd.read_parquet(src).repartition(20).write_parquet(str(frag))
+    n_in = sum(1 for f in frag.iterdir() if f.name.endswith(".parquet"))
+    assert n_in >= 10  # genuinely fragmented
+
+    out = tmp_path / "compacted"
+    compact_parquet(str(frag), str(out), target_file_mb=64)
+    n_out = sum(1 for f in out.iterdir() if f.name.endswith(".parquet"))
+    assert n_out < n_in
+
+    want = pq.read_table(src).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = (rd.read_parquet(str(out)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
