@@ -95,6 +95,9 @@ def run_bench() -> dict:
         "doc_quality",
         "dedup_minhash_docs",
         "ann_topk_cosine",
+        # round 3: the end-to-end curation pipeline (quality filter,
+        # exact dedup, Bloom keeper re-select, langid, BPE counts)
+        "docs_curation_funnel",
     )
     # best-of-N per query: this VM's wall clock varies +/-30% run to run,
     # so a single measurement is noise — the minimum of N in-session

@@ -23,24 +23,43 @@ from ..stages.text import add_bpe_token_counts, add_langid, add_quality_stats
 
 
 def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                     out_dir: str | None = None):
+                     out_dir: str | None = None, work_dir: str | None = None):
     """Return the curated documents Dataset: quality-passing, exactly
     deduplicated (min-id keeper per content hash), annotated with
     lang_pred / token counts. With ``out_dir``, also stream the result to
     parquet partitioned by lang_pred (one directory per language —
     resumable, and downstream per-language reads prune at the directory
-    level)."""
+    level).
+
+    ``work_dir``: the quality stage is consumed twice downstream (dedup
+    keeper scan, final re-select); a lazy Dataset recomputes it per
+    consumer. With work_dir set, the stage is spilled to parquet ONCE
+    and each consumer re-reads columnar-pruned — the checkpoint-reuse
+    pattern for when the upstream transform is expensive relative to
+    columnar IO (model scoring, heavy regex). For this corpus's cheap
+    stats the recompute is marginally faster (sf0.1 funnel best-of-3:
+    3.6 s lazy vs 3.9 s spilled), so None is the default; the caller
+    owns cleanup of work_dir."""
+    import ray.data as rd
+
     quality = add_quality_stats(ds, text_col).map_batches(
         lambda b: b[b["is_quality"] == 1], batch_format="pandas"
     )
+    if work_dir is not None:
+        quality.write_parquet(work_dir)
+        quality = rd.read_parquet(work_dir)
     keepers = exact_dedup(quality, id_col=id_col, text_col=text_col)
 
     def keep_ids(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({id_col: b["keep_id"].astype("int64")})
 
-    kept = bloom_semi_join(
-        quality, keepers.map_batches(keep_ids, batch_format="pandas"), [id_col]
-    )
+    # the keeper-ID set is consumed twice by the Bloom semi-join (bitset
+    # build + exact verify); it is ID-ONLY — 8 bytes per distinct doc —
+    # so materializing it in the object store is cheap at any scale and
+    # saves a full re-execution of the dedup aggregate (unlike the
+    # corpus-shaped quality stage, which is spilled via work_dir instead)
+    keep_ds = keepers.map_batches(keep_ids, batch_format="pandas").materialize()
+    kept = bloom_semi_join(quality, keep_ds, [id_col])
     curated = add_bpe_token_counts(add_langid(kept, text_col), text_col)
     if out_dir is not None:
         curated.write_parquet(out_dir, partition_cols=["lang_pred"])
