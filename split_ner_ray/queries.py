@@ -2437,12 +2437,82 @@ ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def events_value_histogram(sf_dir: str):
+    """Equi-width histogram of event values (integer floor-division
+    bucketing in cents — exact in SQL): per-batch bucket counts, one tiny
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    width_c = 1000  # $10 buckets
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["value"].to_numpy(dtype="float64") * 100).astype("int64")
+        buckets = c // width_c
+        out = pd.Series(buckets).value_counts().rename_axis("bucket").reset_index(name="n")
+        return out.astype({"bucket": "int64", "n": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.astype({"bucket": "int64", "n": "int64"})
+    return agg.sort_values("bucket").reset_index(drop=True)
+
+
+EVENTS_HIST_SQL = """
+SELECT CAST(ROUND(100*value) AS BIGINT) // 1000 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+def doc_lang_source_pivot(sf_dir: str):
+    """Pivot table: document counts for lang rows x source columns — the
+    wide-layout companion to doc_rollup_lang_source, produced by one
+    bucketed aggregate + a driver-side unstack of the group-cardinality
+    result."""
+    from .stages.relational import hash_aggregate
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang", "source"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = hash_aggregate(ds, ["lang", "source"], agg).to_pandas()
+    wide = (
+        counts.pivot(index="lang", columns="source", values="n")
+        .reindex(columns=_PIVOT_SOURCES)
+        .fillna(0).astype("int64").reset_index()
+    )
+    wide.columns = ["lang"] + [f"n_{c}" for c in wide.columns[1:]]
+    return wide.sort_values("lang").reset_index(drop=True)
+
+
+# source values fixed by the synthetic generator (src0..src19 at every sf)
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+PIVOT_SQL = (
+    "SELECT lang, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (source = '{s}') AS BIGINT) AS n_{s}"
+        for s in _PIVOT_SOURCES
+    )
+    + " FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
 QUERIES.update(
     {
         "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
         "events_value_stats": (events_value_stats, EVENTS_VALUE_STATS_SQL),
         "docs_curation_funnel": (docs_curation_funnel, CURATION_FUNNEL_SQL),
         "doc_bigrams_topk": (doc_bigrams_topk, DOC_BIGRAMS_SQL),
+        "events_value_histogram": (events_value_histogram, EVENTS_HIST_SQL),
+        "doc_lang_source_pivot": (doc_lang_source_pivot, PIVOT_SQL),
     }
 )
 
