@@ -511,7 +511,14 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
         keep = (g1 < g2) | ((g1 == g2) & (d1 < d2))
         return pd.DataFrame({"s": d1[keep], "d": d2[keep]})
 
-    wedge_ds = hash_aggregate(ordeg, ["s"], wedges, num_buckets=num_buckets)
+    # materialize the wedge set (the algorithm's O(m^1.5)-bounded working
+    # set): the emptiness guard and the closure cogroup then share one
+    # execution, and an all-oriented-out-degree<=1 graph (path, loops-only)
+    # short-circuits instead of feeding a schemaless empty side to cogroup
+    wedge_ds = hash_aggregate(ordeg, ["s"], wedges,
+                              num_buckets=num_buckets).materialize()
+    if wedge_ds.count() == 0:
+        return 0
 
     def close_bucket(group) -> pd.DataFrame:
         lt, rt = sides(group)
@@ -524,4 +531,6 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
 
     counts = cogroup(wedge_ds, oriented, ["s", "d"], close_bucket,
                      num_buckets=num_buckets).to_pandas()
+    if counts.empty:  # edgeless / triangle-free tiny graphs
+        return 0
     return int(counts["n"].sum())

@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -172,9 +173,15 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[text_col].str.lower().str.split()
-        e = pd.DataFrame(
-            {id_col: batch[id_col].repeat(toks.str.len()), "tok": toks.explode()}
-        )
+        # positional construction (np.repeat + dropna'd explode), NOT
+        # index-aligned Series: an empty-text doc explodes to a NaN row
+        # with no id partner, and pandas alignment then reindexes over
+        # duplicate labels and raises
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        e = pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), lens),
+            "tok": toks.explode().dropna().to_numpy(dtype=object),
+        })
         out = e.groupby([id_col, "tok"], as_index=False, sort=False).size()
         return out.rename(columns={"size": "tf"}).astype({"tf": "int64"})
 

@@ -1270,3 +1270,23 @@ def test_compact_parquet_coalesces_small_files(rd, tmp_path):
     got = (rd.read_parquet(str(out)).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_tfidf_empty_text_doc_keeps_int_ids(rd):
+    from split_ner_ray.stages.text import tfidf_topk
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["apple banana", "", "apple cherry"]})
+    out = tfidf_topk(rd.from_pandas(docs), k=2, num_buckets=4).to_pandas()
+    assert out["doc_id"].dtype == np.int64
+    assert sorted(out["doc_id"].unique()) == [1, 3]  # empty doc contributes nothing
+
+
+def test_triangle_count_trivial_graphs(rd):
+    from split_ner_ray.stages.graph import triangle_count
+
+    # triangle-free path graph and a self-loop-only graph
+    path = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    assert triangle_count(rd.from_pandas(path), num_buckets=4) == 0
+    loops = pd.DataFrame({"src": [1, 2], "dst": [1, 2]})
+    assert triangle_count(rd.from_pandas(loops), num_buckets=4) == 0
