@@ -2290,7 +2290,7 @@ FROM documents ORDER BY doc_id
 """
 
 
-def events_value_stats(sf_dir: str):
+def events_value_variance(sf_dir: str):
     """Per-event-type n / sum / sum-of-squares of value in integer cents
     (variance & stddev are consumer-side divisions, so the hash check is
     float-free): per-batch integer partials, one tiny groupby."""
@@ -2508,7 +2508,7 @@ PIVOT_SQL = (
 QUERIES.update(
     {
         "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
-        "events_value_stats": (events_value_stats, EVENTS_VALUE_STATS_SQL),
+        "events_value_variance": (events_value_variance, EVENTS_VALUE_STATS_SQL),
         "docs_curation_funnel": (docs_curation_funnel, CURATION_FUNNEL_SQL),
         "doc_bigrams_topk": (doc_bigrams_topk, DOC_BIGRAMS_SQL),
         "events_value_histogram": (events_value_histogram, EVENTS_HIST_SQL),

@@ -53,6 +53,10 @@ SQL_BACKED = [
     "events_value_quantiles", "events_latest_by_user",
     "customer_events_full_outer", "events_running_user",
     "doc_rollup_lang_source", "doc_sample_per_lang",
+    # round 3, session 2
+    "orders_bloom_semi", "customers_no_orders_bloom", "doc_tfidf_topk",
+    "doc_bpe_tokens", "events_value_variance", "docs_curation_funnel",
+    "doc_bigrams_topk", "events_value_histogram", "doc_lang_source_pivot",
 ]
 
 
@@ -73,7 +77,7 @@ def test_query_matches_oracle(catalog, con, name):
 
 
 ROWS_ONLY = [
-    "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1",
+    "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1", "events_hll_users",
 ]
 
 DOCS_SQL_BACKED = [
@@ -140,6 +144,7 @@ def test_docs_query_matches_materialized_oracle(catalog, con, name):
 KG_SQL_BACKED = [
     "kg_triples", "kg_nodes", "kg_mentions",
     "kg_triples_by_pred", "kg_nodes_by_etype", "kg_node_degrees",
+    "kg_entity_cooc", "kg_triangles",
 ]
 
 
