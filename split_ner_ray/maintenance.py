@@ -34,3 +34,30 @@ def compact_parquet(in_path: str, out_path: str, *,
     n_files = max(1, -(-dir_parquet_bytes(in_path) // (target_file_mb << 20)))
     rd.read_parquet(in_path).repartition(n_files).write_parquet(out_path)
     return n_files
+
+
+def summarize_stats(stats_text: str) -> list[dict]:
+    """Parse ``Dataset.stats()`` output into per-operator rows
+    [{operator, wall_s, rows_out}] — the at-a-glance view for deciding
+    which stage of a pipeline to tune (the loop the driver brief
+    prescribes: read stats, iterate until useful compute dominates).
+    Tolerant of format drift: unrecognized sections are skipped, missing
+    fields are None."""
+    import re
+
+    rows: list[dict] = []
+    op = None
+    for line in stats_text.splitlines():
+        m = re.match(
+            r"Operator (\d+) (.+?): (\d+) tasks executed, "
+            r"\d+ blocks produced in ([\d.]+)s", line)
+        if m:
+            op = {"operator": m.group(2), "n_tasks": int(m.group(3)),
+                  "wall_s": float(m.group(4)), "rows_out": None}
+            rows.append(op)
+            continue
+        if op is not None:
+            m = re.search(r"Output num rows per block: .*?, (\d+) total", line)
+            if m:
+                op["rows_out"] = int(m.group(1))
+    return rows

@@ -2505,9 +2505,56 @@ PIVOT_SQL = (
 )
 
 
+def events_funnel_view_purchase(sf_dir: str):
+    """Funnel analysis: per user, did a 'view' precede a 'purchase'
+    (strictly later ts)? One bucketed pass per user-hash co-locates each
+    user's history; a vectorized first-view vs last-purchase comparison
+    handles every user in the bucket (the 10^8-user shape — no per-user
+    dispatch). Output: funnel stage counts (integer-exact)."""
+    from .stages.relational import hash_aggregate
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # keep full microsecond precision: second-truncation would break
+        # the strict first_view < last_buy comparison vs the SQL oracle
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"user_id": g["user_id"], "et": g["event_type"], "ts": ts})
+        views = g[g["et"] == "view"].groupby("user_id")["ts"].min()
+        buys = g[g["et"] == "purchase"].groupby("user_id")["ts"].max()
+        both = views.index.intersection(buys.index)
+        converted = (buys.loc[both] > views.loc[both]).sum()
+        return pd.DataFrame({
+            "n_viewers": pd.array([len(views)], dtype="int64"),
+            "n_converted": pd.array([int(converted)], dtype="int64"),
+        })
+
+    parts = hash_aggregate(ds, ["user_id"], per_bucket).to_pandas()
+    return pd.DataFrame({
+        "n_viewers": pd.array([int(parts["n_viewers"].sum())], dtype="int64"),
+        "n_converted": pd.array([int(parts["n_converted"].sum())], dtype="int64"),
+    })
+
+
+EVENTS_FUNNEL_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+       CAST(SUM(CASE WHEN last_buy > first_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_buy
+  FROM events GROUP BY user_id
+) WHERE first_view IS NOT NULL
+"""
+
+
 QUERIES.update(
     {
         "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_TOKENS_SQL),
+        "events_funnel_view_purchase": (events_funnel_view_purchase,
+                                        EVENTS_FUNNEL_SQL),
         "events_value_variance": (events_value_variance, EVENTS_VALUE_STATS_SQL),
         "docs_curation_funnel": (docs_curation_funnel, CURATION_FUNNEL_SQL),
         "doc_bigrams_topk": (doc_bigrams_topk, DOC_BIGRAMS_SQL),

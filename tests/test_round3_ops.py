@@ -1290,3 +1290,41 @@ def test_triangle_count_trivial_graphs(rd):
     assert triangle_count(rd.from_pandas(path), num_buckets=4) == 0
     loops = pd.DataFrame({"src": [1, 2], "dst": [1, 2]})
     assert triangle_count(rd.from_pandas(loops), num_buckets=4) == 0
+
+
+def test_summarize_stats_parses_real_output(rd):
+    from split_ner_ray.maintenance import summarize_stats
+
+    ds = rd.range(5000).map_batches(lambda b: b, batch_format="pandas").materialize()
+    rows = summarize_stats(ds.stats())
+    assert rows, "no operators parsed"
+    r = rows[0]
+    assert r["wall_s"] > 0 and r["rows_out"] == 5000 and r["n_tasks"] >= 1
+
+
+def test_events_funnel_per_bucket_semantics(rd):
+    """Hand fixture: strict 'view before purchase' per user, full
+    microsecond precision."""
+    import pyarrow as pa
+
+    from split_ner_ray.queries import QUERIES
+
+    # build a tiny events parquet in a tmp sf dir
+    import tempfile, os
+    d = tempfile.mkdtemp(dir="/tmp")
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00.000001",  # u1 view
+        "2026-01-01 00:00:00.000002",  # u1 purchase (later us) -> converts
+        "2026-01-02 00:00:00.000000",  # u2 purchase BEFORE view
+        "2026-01-03 00:00:00.000000",  # u2 view
+        "2026-01-04 00:00:00.000000",  # u3 view, no purchase
+    ])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3],
+        "event_type": ["view", "purchase", "purchase", "view", "view"],
+        "ts": ts,
+    })
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["events_funnel_view_purchase"][0](d)
+    assert out["n_viewers"].iloc[0] == 3
+    assert out["n_converted"].iloc[0] == 1
