@@ -287,3 +287,63 @@ def ivf_search_index(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
     for p in partials[1:]:
         merged = merged.union(p)
     return _per_query_reduce(merged, k, exclude_self)
+
+
+def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Symmetric per-vector int8 quantization: 4x smaller than float32
+    (8x vs float64) — the storage/shuffle-bandwidth lever for
+    billion-vector corpora. Each row carries its own scale
+    (max-abs / 127), so quantization is batch-local with NO global pass,
+    and dequantization is exact-shape: q * scale ~= original with
+    per-component error <= scale/2.
+
+    Output columns: (id_col, "q" int8 list, "scale" float64). Use
+    ``dequantize_batch`` (or brute_topk_quantized) to search over it.
+    """
+
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[vec_col], vec_col)
+        scale = np.abs(m).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        q = np.clip(np.round(m / scale[:, None]), -127, 127).astype(np.int8)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype=np.int64),
+            "q": list(q),
+            "scale": scale.astype(np.float64),
+        })
+
+    return emb_ds.map_batches(quant, batch_format="pandas")
+
+
+def dequantize_batch(batch: pd.DataFrame) -> np.ndarray:
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in batch["q"]])
+    return q * batch["scale"].to_numpy()[:, None]
+
+
+def brute_topk_quantized(qemb_ds, qids: np.ndarray, qmat: np.ndarray,
+                         k: int = 5, id_col: str = "vec_id",
+                         exclude_self: bool = True):
+    """brute_topk over a quantized corpus: dequantize per batch (cosine
+    normalization absorbs the per-vector scale, so only the rounding
+    error remains — recall vs the float corpus is pytest-bounded)."""
+    import ray
+
+    ref = ray.put((qids, qmat))
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        all_qids, qm = ray.get(ref)
+        vids = batch[id_col].to_numpy(dtype=np.int64)
+        m = _normalize(dequantize_batch(batch))
+        sims = qm @ m.T
+        out = {"qid": [], "vid": [], "sim": []}
+        kk = k + (1 if exclude_self else 0)
+        for qi in range(sims.shape[0]):
+            for j in _topk_tie_safe(sims[qi], vids, kk):
+                out["qid"].append(int(all_qids[qi]))
+                out["vid"].append(int(vids[j]))
+                out["sim"].append(float(sims[qi, j]))
+        return pd.DataFrame(out)
+
+    partials = qemb_ds.map_batches(local, batch_format="pandas")
+    return _per_query_reduce(partials, k, exclude_self)

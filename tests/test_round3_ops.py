@@ -1328,3 +1328,43 @@ def test_events_funnel_per_bucket_semantics(rd):
     out = QUERIES["events_funnel_view_purchase"][0](d)
     assert out["n_viewers"].iloc[0] == 3
     assert out["n_converted"].iloc[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (stages/ann.py)
+# ---------------------------------------------------------------------------
+
+def test_quantize_roundtrip_error_bound(rd):
+    from split_ner_ray.stages.ann import dequantize_batch, quantize_embeddings
+
+    rng = np.random.default_rng(2)
+    emb = pd.DataFrame({
+        "vec_id": np.arange(200),
+        "embedding": list(rng.normal(size=(200, 32))),
+    })
+    q = quantize_embeddings(rd.from_pandas(emb)).to_pandas()
+    q = q.sort_values("vec_id").reset_index(drop=True)
+    deq = dequantize_batch(q)
+    orig = np.stack(emb["embedding"].to_numpy())
+    # per-component error <= scale/2
+    assert (np.abs(deq - orig) <= q["scale"].to_numpy()[:, None] / 2 + 1e-12).all()
+
+
+def test_quantized_topk_recall(rd):
+    from split_ner_ray.stages.ann import (brute_topk, brute_topk_quantized,
+                                          load_queries, quantize_embeddings)
+
+    rng = np.random.default_rng(4)
+    n, d = 500, 32
+    emb = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": list(rng.normal(size=(n, d)))})
+    ds = rd.from_pandas(emb)
+    qids, qmat = load_queries(ds, list(range(8)))
+    base = brute_topk(ds, qids, qmat, k=10).to_pandas()
+    quant = brute_topk_quantized(quantize_embeddings(ds), qids, qmat, k=10).to_pandas()
+    recalls = []
+    for qid in range(8):
+        b = set(base[base["qid"] == qid]["vid"])
+        g = set(quant[quant["qid"] == qid]["vid"])
+        recalls.append(len(b & g) / len(b))
+    assert np.mean(recalls) >= 0.9, recalls
