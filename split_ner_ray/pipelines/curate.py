@@ -63,4 +63,8 @@ def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     curated = add_bpe_token_counts(add_langid(kept, text_col), text_col)
     if out_dir is not None:
         curated.write_parquet(out_dir, partition_cols=["lang_pred"])
+        # hand back the WRITTEN data: returning the lazy graph would make
+        # the caller's first consumption re-run the whole pipeline
+        # (second Bloom build included)
+        return rd.read_parquet(out_dir)
     return curated

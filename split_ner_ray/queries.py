@@ -2158,9 +2158,11 @@ def kg_entity_cooc(sf_dir: str):
     from .stages.graph import cooccurrence_pairs, group_item_marginals
     from .stages.relational import broadcast_join, topk
 
+    # mentions feed BOTH the pair builder and the marginals: materialize
+    # once, or the expensive detect_and_classify chain executes twice
     m = flatten_mentions(
         detect_and_classify(_transcripts_ds(sf_dir), concurrency=(1, 4))
-    )
+    ).materialize()
     gk, ik = ["conv_id", "turn_idx"], ["surface", "etype"]
     pairs = cooccurrence_pairs(m, gk, ik, num_buckets=32)
     marg = group_item_marginals(m, gk, ik, num_buckets=32).to_pandas()
@@ -2464,10 +2466,13 @@ def events_value_histogram(sf_dir: str):
 
 
 EVENTS_HIST_SQL = """
-SELECT CAST(ROUND(100*value) AS BIGINT) // 1000 AS bucket,
+SELECT CAST(floor(CAST(ROUND(100*value) AS BIGINT) / 1000.0) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY bucket ORDER BY bucket
 """
+# floor(), not integer //: DuckDB // truncates toward zero while numpy //
+# floors, which would diverge on negative values (cents magnitudes stay
+# far below 2^53, so the double division is exact enough for the floor)
 
 
 def doc_lang_source_pivot(sf_dir: str):

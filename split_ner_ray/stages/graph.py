@@ -431,8 +431,6 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
     of wedges vs oriented edges counting closures. Returns the exact
     global count.
     """
-    import pandas as pd
-
     from .relational import (broadcast_join, hash_aggregate,
                              partitioned_join, sides)
 
@@ -445,10 +443,13 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["u", "v"])
 
+    # edge-sized intermediates are consumed by multiple downstream
+    # passes (degrees + orientation join; orientation + closure cogroup):
+    # materialize once instead of re-running the dedup shuffle per consumer
     edges = hash_aggregate(
         edges_ds.map_batches(undirect, batch_format="pandas"),
         ["u", "v"], dedup_bucket, num_buckets=num_buckets,
-    )
+    ).materialize()
 
     def endpoints(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate([b["u"], b["v"]])})
@@ -488,7 +489,7 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
         d = np.where(u_first, v_, u_)
         return pd.DataFrame({"s": s, "d": d})
 
-    oriented = with_deg.map_batches(orient, batch_format="pandas")
+    oriented = with_deg.map_batches(orient, batch_format="pandas").materialize()
 
     # wedge (s -> d1, s -> d2): the potential closing edge is d1 -> d2
     # in orientation order, which within one source's neighbor list is

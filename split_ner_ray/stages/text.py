@@ -219,7 +219,7 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # optional space glued to a letter-run / digit-run / punct-run. The
 # branches have disjoint first characters, so leftmost-first (re) and
 # any alternation order RE2 picks yield the same match set.
-_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+", re.A)
 BPE_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
 
