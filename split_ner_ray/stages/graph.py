@@ -346,7 +346,8 @@ def pagerank(edges_ds, *, iters: int = 10, d_pct: int = 85,
 
 
 def cooccurrence_pairs(ds, group_keys: list[str], item_keys: list[str], *,
-                       num_buckets: int = 64):
+                       num_buckets: int = 64,
+                       max_group_items: int | None = None):
     """Unordered co-occurrence pair counts: for every group (e.g. a
     conversation turn), every lexicographically-ordered pair of DISTINCT
     items in it, counted across all groups — the edge-weight builder for
@@ -360,8 +361,13 @@ def cooccurrence_pairs(ds, group_keys: list[str], item_keys: list[str], *,
 
     Partitioning assumption (same as sessionize): one group's distinct
     items fit in a bucket worker; a group with k items emits O(k^2)
-    pairs, so cap pathological groups upstream (cf. the star-edge cap in
-    dedup's LSH buckets).
+    pairs. ``max_group_items`` caps that: each group keeps only its
+    FIRST max_group_items distinct items in item-key sort order (a
+    deterministic truncation, same spirit as the star-edge cap in
+    dedup's LSH buckets). The cap LOSES pairs — every pair with a
+    truncated member is simply not counted, so capped output is a
+    recall-reduced subset at the PAIRS level, not merely a reweighting;
+    leave it None (exact) unless a group can exceed worker memory.
     """
     from .relational import hash_aggregate
 
@@ -370,6 +376,9 @@ def cooccurrence_pairs(ds, group_keys: list[str], item_keys: list[str], *,
 
     def per_group_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(group_keys + item_keys)
+        if max_group_items is not None:
+            d = d.sort_values(group_keys + item_keys, kind="mergesort")
+            d = d.groupby(group_keys, sort=False).head(max_group_items)
         mm = d.merge(d, on=group_keys, suffixes=("_1", "_2"))
         # strict lexicographic order over the item key tuple: each
         # unordered pair once, self-pairs excluded

@@ -1368,3 +1368,21 @@ def test_quantized_topk_recall(rd):
         g = set(quant[quant["qid"] == qid]["vid"])
         recalls.append(len(b & g) / len(b))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_cooccurrence_group_cap_semantics(rd):
+    """max_group_items keeps the first-k items per group in sort order;
+    pairs touching truncated members are dropped (documented recall
+    loss), and uncapped output is unchanged."""
+    from split_ner_ray.stages.graph import cooccurrence_pairs
+
+    df = pd.DataFrame({"g": [1] * 4 + [2] * 2,
+                       "item": ["a", "b", "c", "d", "a", "b"]})
+    capped = cooccurrence_pairs(rd.from_pandas(df), ["g"], ["item"],
+                                num_buckets=4, max_group_items=2).to_pandas()
+    got = {(r.item_1, r.item_2): r.n_pair for r in capped.itertuples()}
+    # group 1 keeps {a, b}; c/d pairs gone; group 2 unaffected
+    assert got == {("a", "b"): 2}
+    exact = cooccurrence_pairs(rd.from_pandas(df), ["g"], ["item"],
+                               num_buckets=4).to_pandas()
+    assert len(exact) == 6  # C(4,2) keys; group-2 ab merges into ab
