@@ -29,7 +29,50 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true",
                    help="fail instead of skipping committed partitions")
 
+    c = sub.add_parser("curate", help="run the document-curation pipeline")
+    c.add_argument("--input", required=True, help="documents parquet dir/file")
+    c.add_argument("--output", required=True, help="curated parquet output dir")
+    c.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
+    k = sub.add_parser("compact", help="coalesce small parquet files")
+    k.add_argument("--input", required=True)
+    k.add_argument("--output", required=True)
+    k.add_argument("--target-file-mb", type=int, default=256)
+    k.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     args = ap.parse_args(argv)
+
+    if args.cmd in ("curate", "compact"):
+        import ray
+
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        try:
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            if args.cmd == "curate":
+                import ray.data as rd
+
+                from .pipelines.curate import curate_documents
+
+                out = curate_documents(rd.read_parquet(args.input),
+                                       out_dir=args.output)
+                print(json.dumps({"kept_docs": out.count(),
+                                  "output_dir": args.output}))
+            else:
+                from .maintenance import compact_parquet
+
+                n = compact_parquet(args.input, args.output,
+                                    target_file_mb=args.target_file_mb)
+                print(json.dumps({"output_files": n,
+                                  "output_dir": args.output}))
+            return 0
+        finally:
+            ray.shutdown()
     cfg = PipelineConfig.from_json(args.config) if args.config else PipelineConfig()
     if args.input:
         cfg.input_path = args.input

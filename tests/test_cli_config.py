@@ -88,3 +88,29 @@ def test_config_value_validation():
     # all registry backends accepted
     for b in ("rules", "oracle", "hf"):
         PipelineConfig(detector_backend=b)
+
+
+def test_cli_curate_and_compact(tmp_path):
+    """Subprocess smoke of the new subcommands (own Ray session)."""
+    import json
+
+    env = dict(os.environ, RAY_GRAFT_CPUS="2")
+    out1 = tmp_path / "curated"
+    r = subprocess.run(
+        [sys.executable, "-m", "split_ner_ray.cli", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out1), "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["kept_docs"] > 0
+
+    out2 = tmp_path / "compacted"
+    r = subprocess.run(
+        [sys.executable, "-m", "split_ner_ray.cli", "compact",
+         "--input", str(out1), "--output", str(out2), "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["output_files"] >= 1
