@@ -205,13 +205,19 @@ def ivf_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
 # ---------------------------------------------------------------------------
 
 def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    quantize: bool = False) -> np.ndarray:
     """Build an on-disk IVF index: train the coarse quantizer, bucket every
     vector by nearest centroid, and write the corpus PARTITIONED BY bucket
     (one parquet directory per inverted list, plus centroids.npy). Searches
     then prune at the READ: only the nprobe probed bucket directories are
     ever opened — the storage-level pruning a 100 TB ANN corpus needs
-    (ivf_topk prunes compute + shuffle only)."""
+    (ivf_topk prunes compute + shuffle only).
+
+    ``quantize=True`` stores each inverted list as int8 + per-vector scale
+    (see quantize_embeddings) — 8x smaller lists on disk AND over the
+    probe reads, at pytest-bounded recall cost; a marker file records the
+    layout so ivf_search_index dequantizes transparently."""
     import os
 
     import ray
@@ -223,6 +229,25 @@ def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
         c = ray.get(cref)
         m = _normalize(_as_matrix(batch[vec_col], vec_col))
         b = np.argmax(m @ c.T, axis=1)
+        if quantize:
+            import pyarrow as pa
+
+            raw = _as_matrix(batch[vec_col], vec_col)
+            scale = np.abs(raw).max(axis=1) / 127.0
+            scale[scale == 0] = 1.0
+            q = np.clip(np.round(raw / scale[:, None]), -127, 127).astype(np.int8)
+            # Arrow-native int8 lists: a pandas object column of int8
+            # ndarrays would round-trip through parquet as an unreadable
+            # pandas batch (and plain Python lists would re-widen to int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(b, type=pa.int64()),
+                    id_col: pa.array(batch[id_col].to_numpy(dtype=np.int64)),
+                    "q": pa.FixedSizeListArray.from_arrays(
+                        pa.array(q.reshape(-1), type=pa.int8()), q.shape[1]),
+                    "scale": pa.array(scale, type=pa.float64()),
+                }
+            )
         return pd.DataFrame(
             {
                 "bucket": pd.array(b, dtype="int64"),
@@ -235,6 +260,9 @@ def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
         index_dir, partition_cols=["bucket"]
     )
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    if quantize:
+        with open(os.path.join(index_dir, "_QUANTIZED"), "w") as f:
+            f.write("int8")
     return cents
 
 
@@ -251,6 +279,7 @@ def ivf_search_index(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
     import ray.data as rd
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    quantized = os.path.exists(os.path.join(index_dir, "_QUANTIZED"))
     qsims = qmat @ cents.T
     probes_by_bucket: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -265,10 +294,20 @@ def ivf_search_index(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
         if not os.path.isdir(bdir):
             continue  # empty inverted list
 
-        def score(batch: pd.DataFrame, probing=tuple(probing)) -> pd.DataFrame:
+        def score(batch, probing=tuple(probing)) -> pd.DataFrame:
             all_qids, qm = ray.get(pref)
-            vids = batch[id_col].to_numpy(dtype=np.int64)
-            m = _normalize(_as_matrix(batch[vec_col], vec_col))
+            if quantized:
+                import pyarrow.compute as pc
+
+                vids = batch.column(id_col).to_numpy().astype(np.int64)
+                qarr = batch.column("q").combine_chunks()
+                flat = pc.list_flatten(qarr).to_numpy(zero_copy_only=False)
+                raw = flat.astype(np.float64).reshape(len(batch), -1)
+                raw *= batch.column("scale").to_numpy()[:, None]
+            else:
+                vids = batch[id_col].to_numpy(dtype=np.int64)
+                raw = _as_matrix(batch[vec_col], vec_col)
+            m = _normalize(raw)
             sims = qm[list(probing)] @ m.T
             out = {"qid": [], "vid": [], "sim": []}
             for row_i, qi in enumerate(probing):
@@ -279,7 +318,8 @@ def ivf_search_index(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
             return pd.DataFrame(out)
 
         partials.append(
-            rd.read_parquet(bdir).map_batches(score, batch_format="pandas")
+            rd.read_parquet(bdir).map_batches(
+                score, batch_format="pyarrow" if quantized else "pandas")
         )
     if not partials:
         return rd.from_pandas(pd.DataFrame({"qid": [], "vid": [], "rank": []}))

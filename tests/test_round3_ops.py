@@ -1386,3 +1386,33 @@ def test_cooccurrence_group_cap_semantics(rd):
     exact = cooccurrence_pairs(rd.from_pandas(df), ["g"], ["item"],
                                num_buckets=4).to_pandas()
     assert len(exact) == 6  # C(4,2) keys; group-2 ab merges into ab
+
+
+def test_quantized_ivf_index_recall(rd, tmp_path):
+    from split_ner_ray.stages.ann import (ivf_build_index, ivf_search_index,
+                                          load_queries)
+
+    rng = np.random.default_rng(6)
+    n, d = 400, 16
+    emb = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": list(rng.normal(size=(n, d)))})
+    ds = rd.from_pandas(emb)
+    qids, qmat = load_queries(ds, list(range(6)))
+
+    d_f = tmp_path / "ivf_float"
+    d_q = tmp_path / "ivf_int8"
+    ivf_build_index(ds, str(d_f), num_centroids=4)
+    ivf_build_index(ds, str(d_q), num_centroids=4, quantize=True)
+    assert (d_q / "_QUANTIZED").exists()
+    # int8 lists are materially smaller on disk
+    from split_ner_ray.maintenance import dir_parquet_bytes
+    assert dir_parquet_bytes(str(d_q)) < 0.6 * dir_parquet_bytes(str(d_f))
+
+    base = ivf_search_index(str(d_f), qids, qmat, k=10, nprobe=4).to_pandas()
+    quant = ivf_search_index(str(d_q), qids, qmat, k=10, nprobe=4).to_pandas()
+    recalls = []
+    for qid in range(6):
+        b = set(base[base["qid"] == qid]["vid"])
+        g = set(quant[quant["qid"] == qid]["vid"])
+        recalls.append(len(b & g) / max(1, len(b)))
+    assert np.mean(recalls) >= 0.9, recalls
