@@ -2240,8 +2240,42 @@ FROM e ab JOIN e bc ON ab.v = bc.u
 """
 
 
+def part_name_fuzzy_pairs(sf_dir: str):
+    """Entity-resolution shape: part pairs whose name token-set Jaccard
+    is >= 1/2 (integer-rational comparison, hash-exact vs SQL). See
+    stages/dedup.fuzzy_self_jaccard — token-blocked co-occurrence
+    intersection counts + broadcast set sizes."""
+    from .stages.dedup import fuzzy_self_jaccard
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    out = fuzzy_self_jaccard(ds, "p_partkey", "p_name", num=1, den=2,
+                             num_buckets=32).to_pandas()
+    out = out.rename(columns={"p_partkey_1": "a_key", "p_partkey_2": "b_key"})
+    out = out.astype({"a_key": "int64", "b_key": "int64"})
+    return out.sort_values(["a_key", "b_key"]).reset_index(drop=True)
+
+
+PART_FUZZY_SQL = r"""
+WITH tok AS (
+  SELECT p_partkey AS id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(p_name)), '\s+'))) AS tok
+  FROM part
+), sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY id),
+pairs AS (
+  SELECT a.id AS a_key, b.id AS b_key, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT a_key, b_key, inter, sa.n + sb.n - inter AS uni
+FROM pairs JOIN sz sa ON a_key = sa.id JOIN sz sb ON b_key = sb.id
+WHERE 2*inter >= sa.n + sb.n - inter
+ORDER BY a_key, b_key
+"""
+
+
 QUERIES.update(
     {
+        "part_name_fuzzy_pairs": (part_name_fuzzy_pairs, PART_FUZZY_SQL),
         "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),
         "customers_no_orders_bloom": (customers_no_orders_bloom, CUST_NO_ORDERS_SQL),
         "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),

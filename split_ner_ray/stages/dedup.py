@@ -784,3 +784,59 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
 
     pairs = hash_aggregate(rows, ["bucket"], buckets_fn)
     return hash_aggregate(pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))
+
+
+def fuzzy_self_jaccard(ds, id_col: str, text_col: str, *, num: int = 1,
+                       den: int = 2, num_buckets: int = 64,
+                       max_token_df: int | None = None):
+    """Fuzzy self-join on token-set Jaccard (entity-resolution shape):
+    all id pairs whose lowercased whitespace-token sets satisfy
+    |A∩B| / |A∪B| >= num/den, compared as integers (den*inter >=
+    num*(|A|+|B|-inter)) so the result is hash-exact vs SQL.
+
+    Composition: intersection sizes ARE co-occurrence pair counts with
+    the TOKEN as the group key (graph.cooccurrence_pairs — one bucketed
+    self-merge per token bucket, partials aggregated on the pair key);
+    per-id set sizes are batch-local (row = whole record) and broadcast
+    back (partition-join them instead at >10^8 ids). ``max_token_df``
+    caps a stop-token's block (first-k ids in sort order, documented
+    pairs-level recall loss in cooccurrence_pairs) — the standard
+    prefix-filtering concession for tokens shared by half the corpus.
+    Output: (<id>_1, <id>_2, inter, uni) with id_1 < id_2.
+    """
+    from .graph import cooccurrence_pairs
+    from .relational import broadcast_join
+
+    def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.lower().str.strip().str.split().map(
+            lambda ts: sorted(set(ts)) if isinstance(ts, list) else [])
+        lens = toks.map(len).to_numpy()
+        import numpy as np
+        return pd.DataFrame({
+            "tok": toks.explode().dropna().to_numpy(dtype=object),
+            id_col: np.repeat(b[id_col].to_numpy(), lens),
+        })
+
+    def sizes(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[text_col].str.lower().str.strip().str.split().map(
+            lambda ts: len(set(ts)) if isinstance(ts, list) else 0)
+        return pd.DataFrame({id_col: b[id_col], "n": n.astype("int64")})
+
+    rows = ds.map_batches(tok_rows, batch_format="pandas")
+    inter = cooccurrence_pairs(rows, ["tok"], [id_col],
+                               num_buckets=num_buckets,
+                               max_group_items=max_token_df)
+    size_df = ds.map_batches(sizes, batch_format="pandas").to_pandas()
+    i1, i2 = f"{id_col}_1", f"{id_col}_2"
+    s1 = size_df.rename(columns={id_col: i1, "n": "n_1"})
+    s2 = size_df.rename(columns={id_col: i2, "n": "n_2"})
+    joined = broadcast_join(broadcast_join(inter, s1, [i1]), s2, [i2])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        uni = b["n_1"] + b["n_2"] - b["n_pair"]
+        out = b[den * b["n_pair"] >= num * uni].copy()
+        out["inter"] = out["n_pair"].astype("int64")
+        out["uni"] = (out["n_1"] + out["n_2"] - out["n_pair"]).astype("int64")
+        return out[[i1, i2, "inter", "uni"]]
+
+    return joined.map_batches(keep, batch_format="pandas")

@@ -57,7 +57,7 @@ SQL_BACKED = [
     "orders_bloom_semi", "customers_no_orders_bloom", "doc_tfidf_topk",
     "doc_bpe_tokens", "events_value_variance", "docs_curation_funnel",
     "doc_bigrams_topk", "events_value_histogram", "doc_lang_source_pivot",
-    "events_funnel_view_purchase",
+    "events_funnel_view_purchase", "part_name_fuzzy_pairs",
 ]
 
 

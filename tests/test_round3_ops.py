@@ -1416,3 +1416,18 @@ def test_quantized_ivf_index_recall(rd, tmp_path):
         g = set(quant[quant["qid"] == qid]["vid"])
         recalls.append(len(b & g) / max(1, len(b)))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_fuzzy_self_jaccard_hand_fixture(rd):
+    from split_ner_ray.stages.dedup import fuzzy_self_jaccard
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "name": ["small red ring", "small blue ring", "large box", "small red ring"],
+    })
+    out = fuzzy_self_jaccard(rd.from_pandas(df), "id", "name",
+                             num=1, den=2, num_buckets=4).to_pandas()
+    got = {(r.id_1, r.id_2): (r.inter, r.uni) for r in out.itertuples()}
+    # 1 vs 2: {small,red,ring} ∩ {small,blue,ring} = 2, uni 4 -> 1/2 kept
+    # 1 vs 4: identical -> 3/3 kept; 2 vs 4 same as 1 vs 2; 3 pairs total
+    assert got == {(1, 2): (2, 4), (1, 4): (3, 3), (2, 4): (2, 4)}
