@@ -2273,8 +2273,30 @@ ORDER BY a_key, b_key
 """
 
 
+def doc_shuffle_head(sf_dir: str):
+    """First 20 documents under the seeded deterministic shuffle
+    (relational.deterministic_shuffle, seed '42') — the reproducible
+    training-data ordering: same seed gives byte-identical order at any
+    parallelism, which md5-rank makes SQL-checkable."""
+    from .stages.relational import deterministic_shuffle
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    head = deterministic_shuffle(ds, ["doc_id"], seed="42").limit(20).to_pandas()
+    head["rank"] = pd.array(range(1, len(head) + 1), dtype="int64")
+    return head.astype({"doc_id": "int64"})[["rank", "doc_id"]]
+
+
+DOC_SHUFFLE_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS rank,
+       doc_id
+FROM documents
+ORDER BY rank LIMIT 20
+"""
+
+
 QUERIES.update(
     {
+        "doc_shuffle_head": (doc_shuffle_head, DOC_SHUFFLE_SQL),
         "part_name_fuzzy_pairs": (part_name_fuzzy_pairs, PART_FUZZY_SQL),
         "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),
         "customers_no_orders_bloom": (customers_no_orders_bloom, CUST_NO_ORDERS_SQL),

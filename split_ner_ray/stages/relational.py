@@ -739,3 +739,27 @@ def bloom_semi_join(left_ds, right_ds, on: list[str], *, how: str = "semi",
 
     negatives = left_ds.map_batches(keep_neg, batch_format="pandas")
     return negatives.union(checked)
+
+
+def deterministic_shuffle(ds, key_cols: list[str], *, seed: str = "0",
+                          num_blocks: int | None = None):
+    """Seeded, reproducible global shuffle: order rows by
+    md5(seed || key) — the reproducible-training-data contract (same
+    seed -> byte-identical shard order on any cluster size, unlike
+    random_shuffle whose layout depends on block boundaries). One
+    distributed sort on the 16-byte hash; the hash column is dropped on
+    output. Change ``seed`` per epoch for a fresh permutation."""
+    import hashlib
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        k = batch[key_cols].astype(str).agg("|".join, axis=1)
+        batch["__shuf"] = [
+            hashlib.md5((seed + "|" + v).encode()).hexdigest() for v in k
+        ]
+        return batch
+
+    out = ds.map_batches(add_key, batch_format="pandas").sort("__shuf")
+    if num_blocks is not None:
+        out = out.repartition(num_blocks)
+    return out.drop_columns(["__shuf"])

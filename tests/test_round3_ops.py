@@ -1431,3 +1431,17 @@ def test_fuzzy_self_jaccard_hand_fixture(rd):
     # 1 vs 2: {small,red,ring} ∩ {small,blue,ring} = 2, uni 4 -> 1/2 kept
     # 1 vs 4: identical -> 3/3 kept; 2 vs 4 same as 1 vs 2; 3 pairs total
     assert got == {(1, 2): (2, 4), (1, 4): (3, 3), (2, 4): (2, 4)}
+
+
+def test_deterministic_shuffle_parallelism_invariant(rd):
+    from split_ner_ray.stages.relational import deterministic_shuffle
+
+    df = pd.DataFrame({"k": np.arange(300), "v": np.arange(300) * 2})
+    a = deterministic_shuffle(rd.from_pandas(df), ["k"], seed="s1").to_pandas()
+    b = deterministic_shuffle(rd.from_pandas(df).repartition(13), ["k"],
+                              seed="s1").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    c = deterministic_shuffle(rd.from_pandas(df), ["k"], seed="s2").to_pandas()
+    assert list(a["k"]) != list(c["k"])  # different seed, different order
+    assert sorted(a["k"]) == sorted(c["k"])  # same multiset
