@@ -2294,8 +2294,56 @@ ORDER BY rank LIMIT 20
 """
 
 
+def events_weekly_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST-activity epoch week
+    (cohort), counted per (cohort, weeks-since-cohort) activity cell —
+    the classic training-/product-analytics matrix. One bucketed pass
+    per user-hash computes each user's cohort and distinct activity
+    weeks vectorized (no per-user dispatch); a second tiny aggregate
+    sums the (cohort, offset) cells. Integer epoch-week arithmetic keeps
+    the hash check exact."""
+    from ray.data.aggregate import Sum
+
+    from .stages.relational import hash_aggregate
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # epoch week, floor semantics (timestamps are post-1970)
+        wk = (g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+              // (7 * 86400 * 1_000_000))
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(), "wk": wk}).drop_duplicates()
+        d["cohort"] = d.groupby("u")["wk"].transform("min")
+        d["offset"] = d["wk"] - d["cohort"]
+        out = d.groupby(["cohort", "offset"], as_index=False).agg(n=("u", "nunique"))
+        return out.astype({"cohort": "int64", "offset": "int64", "n": "int64"})
+
+    parts = hash_aggregate(ds, ["user_id"], per_bucket)
+    agg = (
+        parts.groupby(["cohort", "offset"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.astype({"cohort": "int64", "offset": "int64", "n": "int64"})
+    return agg.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
+EVENTS_RETENTION_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // CAST(604800000000 AS BIGINT) AS wk
+  FROM events
+), coh AS (
+  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM wk
+)
+SELECT cohort, wk - cohort AS "offset",
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+FROM coh GROUP BY cohort, wk - cohort ORDER BY cohort, "offset"
+"""
+
+
 QUERIES.update(
     {
+        "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
         "doc_shuffle_head": (doc_shuffle_head, DOC_SHUFFLE_SQL),
         "part_name_fuzzy_pairs": (part_name_fuzzy_pairs, PART_FUZZY_SQL),
         "orders_bloom_semi": (orders_bloom_semi, ORDERS_BLOOM_SEMI_SQL),

@@ -58,7 +58,7 @@ SQL_BACKED = [
     "doc_bpe_tokens", "events_value_variance", "docs_curation_funnel",
     "doc_bigrams_topk", "events_value_histogram", "doc_lang_source_pivot",
     "events_funnel_view_purchase", "part_name_fuzzy_pairs",
-    "doc_shuffle_head",
+    "doc_shuffle_head", "events_weekly_retention",
 ]
 
 
