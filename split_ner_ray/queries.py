@@ -2341,8 +2341,40 @@ FROM coh GROUP BY cohort, wk - cohort ORDER BY cohort, "offset"
 """
 
 
+def emb_group_centroid_sums(sf_dir: str):
+    """Per-group embedding component sums (the centroid builder,
+    stages/embed.grouped_vector_sum): components fixed-point quantized
+    BEFORE summation so the aggregate is associative — byte-identical
+    at any parallelism, exactly SQL-checkable (a float sum's value
+    depends on reduction order). Groups = vec_id % 4."""
+    from .stages.embed import grouped_vector_sum
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def add_grp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["grp"] = (b["vec_id"] % 4).astype("int64")
+        return b
+
+    out = grouped_vector_sum(
+        ds.map_batches(add_grp, batch_format="pandas"), "grp", "embedding"
+    ).to_pandas()
+    out = out.astype({"grp": "int64", "dim": "int64", "s": "int64", "n": "int64"})
+    return out.sort_values(["grp", "dim"]).reset_index(drop=True)
+
+
+EMB_CENTROID_SQL = """
+SELECT vec_id % 4 AS grp, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(ROUND(1000000 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES.update(
     {
+        "emb_group_centroid_sums": (emb_group_centroid_sums, EMB_CENTROID_SQL),
         "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
         "doc_shuffle_head": (doc_shuffle_head, DOC_SHUFFLE_SQL),
         "part_name_fuzzy_pairs": (part_name_fuzzy_pairs, PART_FUZZY_SQL),

@@ -67,3 +67,41 @@ def embed_mentions(ds, *, dim: int = DIM_DEFAULT, surface_col: str = "surface",
         concurrency=concurrency or pool_size(0.5),
         num_cpus=0.5,
     )
+
+
+def grouped_vector_sum(ds, group_col: str, vec_col: str, *, scale: int = 1_000_000,
+                       num_buckets: int = 32):
+    """Per-group vector sums (the centroid builder): each embedding
+    component is fixed-point quantized (round(scale*x) as int64) BEFORE
+    summation, so the aggregate is associative and byte-identical at any
+    parallelism — a float sum's value depends on reduction order, which
+    would break exact oracle checks and cross-run reproducibility.
+    Output: one row per (group, dim) with the int64 component sum and
+    the group count; consumers divide sum/(scale*n) for the centroid.
+
+    Shape: per-batch quantize + local (group, dim) partial sums
+    (vectorized reshape, no Python loop), then one bucketed aggregate on
+    (group, dim)."""
+    from ..stages.relational import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        q = np.round(m * scale).astype(np.int64)
+        g = batch[group_col].to_numpy()
+        d = q.shape[1]
+        df = pd.DataFrame({
+            "grp": np.repeat(g, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(g)),
+            "s": q.reshape(-1),
+        })
+        out = df.groupby(["grp", "dim"], as_index=False).agg(
+            s=("s", "sum"), n=("s", "size"))
+        return out.astype({"s": "int64", "n": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["grp", "dim"], as_index=False)[["s", "n"]].sum()
+        return out.astype({"s": "int64", "n": "int64"})
+
+    return hash_aggregate(parts, ["grp", "dim"], agg, num_buckets=num_buckets)

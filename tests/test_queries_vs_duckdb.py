@@ -59,6 +59,7 @@ SQL_BACKED = [
     "doc_bigrams_topk", "events_value_histogram", "doc_lang_source_pivot",
     "events_funnel_view_purchase", "part_name_fuzzy_pairs",
     "doc_shuffle_head", "events_weekly_retention",
+    "emb_group_centroid_sums",
 ]
 
 

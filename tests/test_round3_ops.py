@@ -1445,3 +1445,26 @@ def test_deterministic_shuffle_parallelism_invariant(rd):
     c = deterministic_shuffle(rd.from_pandas(df), ["k"], seed="s2").to_pandas()
     assert list(a["k"]) != list(c["k"])  # different seed, different order
     assert sorted(a["k"]) == sorted(c["k"])  # same multiset
+
+
+def test_grouped_vector_sum_associativity(rd):
+    """Fixed-point quantize-then-sum is batching-invariant; float
+    sum-then-quantize would not be."""
+    from split_ner_ray.stages.embed import grouped_vector_sum
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({"grp": rng.integers(0, 3, 200),
+                       "embedding": list(rng.normal(size=(200, 8)))})
+    a = grouped_vector_sum(rd.from_pandas(df), "grp", "embedding",
+                           num_buckets=4).to_pandas()
+    b = grouped_vector_sum(rd.from_pandas(df).repartition(17), "grp",
+                           "embedding", num_buckets=4).to_pandas()
+    key = ["grp", "dim"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    # python oracle on one cell
+    want = int(np.round(1_000_000 * np.stack(
+        df[df["grp"] == 0]["embedding"].to_numpy())[:, 0]).astype(np.int64).sum())
+    got = int(a[(a["grp"] == 0) & (a["dim"] == 0)]["s"].iloc[0])
+    assert got == want
