@@ -2404,6 +2404,22 @@ def events_hll_users(sf_dir: str):
 QUERIES.update({"events_hll_users": (events_hll_users, None)})
 
 
+def events_hll_users_by_type(sf_dir: str):
+    """Per-event-type HLL distinct-user estimates (sketch.hll_distinct_by
+    — the COUNT(DISTINCT) GROUP BY shape at fixed per-key memory).
+    Approximate, so rows-only for the driver; error bounds + batching
+    invariance under pytest."""
+    from .stages.sketch import hll_distinct_by
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    out = hll_distinct_by(ds, "event_type", "user_id", p=12)
+    out = out.rename(columns={"k": "event_type", "est": "distinct_users_est"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES.update({"events_hll_users_by_type": (events_hll_users_by_type, None)})
+
+
 def doc_bpe_tokens(sf_dir: str):
     """BPE-ish subword-piece counts per document (stages/text
     add_bpe_token_counts; the brief's 'whitespace + a BPE-ish regex'

@@ -278,3 +278,59 @@ def hll_distinct(ds, col: str, *, p: int = 12) -> int:
     for row in hll_partials(ds, col, p=p).take_all():
         regs = np.maximum(regs, np.asarray(row["hll"], dtype=np.uint8))
     return hll_estimate(regs)
+
+
+def hll_distinct_by(ds, key_col: str, col: str, *, p: int = 12,
+                    num_buckets: int = 32):
+    """Per-key HyperLogLog distinct counts: one 2^p-byte register row per
+    (batch, key) partial (mergeable by elementwise max, so the estimate
+    per key is batching-invariant), merged per key in ONE bucketed
+    aggregate — the COUNT(DISTINCT x) GROUP BY k shape at cardinalities
+    where exact per-key sets would dominate the shuffle. Returns a
+    pandas DataFrame (key, est) — group-cardinality-sized."""
+    import pandas as pd
+
+    from .relational import hash_aggregate
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame({
+            "k": batch.column(key_col).to_pandas(),
+            "v": batch.column(col).to_pylist(),
+        })
+        rows = {"k": [], "regs": []}
+        for k, grp in df.groupby("k", sort=False):
+            h = _hash_col(grp["v"].to_numpy())
+            regs = np.zeros(m, dtype=np.uint8)
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+            rho = np.zeros(len(h), dtype=np.uint8)
+            probe = np.uint64(1) << np.uint64(63)
+            alive = np.ones(len(h), dtype=bool)
+            r = 1
+            while alive.any() and r <= 64 - p + 1:
+                hit = alive & ((rest & probe) != 0)
+                rho[hit] = r
+                alive &= ~hit
+                probe >>= np.uint64(1)
+                r += 1
+            np.maximum.at(regs, idx, rho)
+            rows["k"].append(k)
+            rows["regs"].append(regs.tobytes())
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_e = [], []
+        for k, grp in g.groupby("k", sort=False):
+            regs = np.zeros(m, dtype=np.uint8)
+            for b in grp["regs"]:
+                regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+            out_k.append(k)
+            out_e.append(hll_estimate(regs))
+        return pd.DataFrame({"k": out_k,
+                             "est": pd.array(out_e, dtype="int64")})
+
+    return hash_aggregate(parts, ["k"], merge, num_buckets=num_buckets).to_pandas()

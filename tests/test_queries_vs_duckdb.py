@@ -81,6 +81,7 @@ def test_query_matches_oracle(catalog, con, name):
 
 ROWS_ONLY = [
     "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1", "events_hll_users",
+    "events_hll_users_by_type",
 ]
 
 DOCS_SQL_BACKED = [

@@ -1468,3 +1468,19 @@ def test_grouped_vector_sum_associativity(rd):
         df[df["grp"] == 0]["embedding"].to_numpy())[:, 0]).astype(np.int64).sum())
     got = int(a[(a["grp"] == 0) & (a["dim"] == 0)]["s"].iloc[0])
     assert got == want
+
+
+def test_hll_distinct_by_groups(rd):
+    from split_ner_ray.stages.sketch import hll_distinct_by
+
+    df = pd.DataFrame({
+        "k": ["a"] * 3000 + ["b"] * 500,
+        "v": [f"x{i}" for i in range(3000)] + [f"y{i % 100}" for i in range(500)],
+    })
+    out = hll_distinct_by(rd.from_pandas(df), "k", "v", p=12)
+    got = dict(zip(out["k"], out["est"]))
+    assert abs(got["a"] - 3000) / 3000 < 0.05
+    assert abs(got["b"] - 100) <= 3  # linear-counting regime
+    # batching invariance
+    out2 = hll_distinct_by(rd.from_pandas(df).repartition(9), "k", "v", p=12)
+    assert dict(zip(out2["k"], out2["est"])) == got
