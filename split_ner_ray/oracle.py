@@ -20,6 +20,25 @@ from . import rules
 from .schemas import MENTIONS, NODES, RAW_TRIPLES, TRIPLES
 
 
+def commit_oracle_dir(tmp: str, out: str) -> None:
+    """Atomically promote a fully-written oracle tmp dir to ``out``.
+
+    Only a lost promotion race (another caller already renamed an
+    identical output into place — ENOTEMPTY/EEXIST) is tolerated, and the
+    loser's tmp dir is cleaned up; any other OSError (EXDEV, EACCES, …)
+    re-raises so a partial/stale dir is never blessed with _SUCCESS."""
+    import errno
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, out)
+    except OSError as e:
+        if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def extract_mentions(transcripts: pa.Table, max_tokens: int = rules.MAX_TOKENS_DEFAULT) -> pa.Table:
     cols = {n: [] for n in MENTIONS.names}
     conv = transcripts.column("conv_id").to_pylist()
@@ -216,10 +235,7 @@ def materialized_kg_path(sf_dir: str, seed: int = 42) -> str:
     pq.write_table(nodes, os.path.join(tmp, "nodes.parquet"))
     pq.write_table(mentions, os.path.join(tmp, "mentions.parquet"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        pass  # concurrent caller won the race; its output is identical
+    commit_oracle_dir(tmp, out)
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -329,10 +345,7 @@ def materialized_kg_aux_path(sf_dir: str, seed: int = 42) -> str:
     pq.write_table(pa.Table.from_pandas(norms, preserve_index=False),
                    os.path.join(tmp, "mention_norms.parquet"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        pass  # concurrent caller won the race; its output is identical
+    commit_oracle_dir(tmp, out)
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -392,10 +405,7 @@ def materialized_kg_graph_path(sf_dir: str, seed: int = 42) -> str:
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(pr, os.path.join(tmp, "pagerank.parquet"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        pass  # concurrent caller won the race; its output is identical
+    commit_oracle_dir(tmp, out)
     with open(done, "w") as f:
         f.write("ok")
     return out

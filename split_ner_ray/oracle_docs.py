@@ -265,10 +265,9 @@ def materialized_docs_path(sf_dir: str) -> str:
         os.path.join(tmp, "cosine_lsh_pairs.parquet"),
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        pass  # concurrent caller won the race; its output is identical
+    from .oracle import commit_oracle_dir
+
+    commit_oracle_dir(tmp, out)
     with open(done, "w") as f:
         f.write("ok")
     return out

@@ -28,9 +28,16 @@ import pandas as pd
 
 def _driver_cc(edges: pd.DataFrame):
     """In-memory union-find with min-root — identical output contract to
-    the iterative dataflow (label = min node id of the component)."""
+    the iterative dataflow (label = min node id of the component).
+
+    Self-loops are filtered exactly as the star rounds filter them
+    (``keep = s != d``), so a node that appears ONLY in self-loop edges is
+    absent from the labels in BOTH regimes — without this, the result set
+    on degenerate input would depend on which side of
+    ``small_graph_edges`` the edge count lands."""
     import ray.data as rd
 
+    edges = edges[edges["src"] != edges["dst"]]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -448,8 +448,19 @@ def build_shard_lookup(ds, key_col: str, value_col: str, *,
         t = pa.concat_tables(parts)
         keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        # gather_from_shards resolves each probe key to exactly ONE payload
+        # row (searchsorted): a duplicate key would silently drop rows and
+        # change join semantics on dirty inputs — fail loudly instead
+        if len(skeys) > 1 and bool((np.diff(skeys) == 0).any()):
+            dup = int(skeys[1:][np.diff(skeys) == 0][0])
+            raise ValueError(
+                f"build_shard_lookup: duplicate key {dup} in shard {shard_id} "
+                f"({key_col!r}); the lookup side of a shard-gather join must "
+                "be unique per key — dedup it explicitly first"
+            )
         vals = t.column(value_col).combine_chunks().take(pa.array(order))
-        return keys[order], vals
+        return skeys, vals
 
     refs = [build.remote(s, *block_refs) for s in range(num_shards)]
     return refs, num_shards

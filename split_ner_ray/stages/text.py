@@ -45,10 +45,32 @@ def tokens_ws(text: str) -> list[str]:
     return _WS.split(t) if t else []
 
 
+def _token_count_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``len(tokens_ws(t))``: whitespace-run count + 1 on the
+    trimmed string, 0 for all-whitespace/empty (one C pass, no row loop)."""
+    stripped = s.str.strip()
+    n = stripped.str.count(_WS) + 1
+    return n.where(stripped.str.len() > 0, 0).astype("int64")
+
+
+def _whole_token_re(words: tuple[str, ...]) -> re.Pattern:
+    """Case-insensitive whole-whitespace-token alternation: matches a
+    maximal non-whitespace run exactly equal (ASCII-casefolded) to one of
+    ``words`` — the vectorized equivalent of ``w.lower() in words`` over
+    ``tokens_ws``. re.A keeps IGNORECASE ASCII-only, mirroring
+    ``str.lower`` on the ASCII marker/stopword sets."""
+    alt = "|".join(sorted(words, key=len, reverse=True))
+    return re.compile(rf"(?<!\S)(?:{alt})(?!\S)", re.I | re.A)
+
+
+_STOPWORD_RE = _whole_token_re(STOPWORDS)
+_LANG_MARKER_RE = {lang: _whole_token_re(ws) for lang, ws in LANG_MARKERS.items()}
+
+
 def add_token_counts(ds, text_col: str = "text"):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["n_tokens"] = [len(tokens_ws(t)) for t in batch[text_col]]
+        batch["n_tokens"] = _token_count_series(batch[text_col])
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
@@ -56,23 +78,26 @@ def add_token_counts(ds, text_col: str = "text"):
 
 def add_quality_stats(ds, text_col: str = "text"):
     """Integer quality features: n_chars, n_punct, n_upper, n_digit,
-    n_stopwords, n_tokens + is_quality flag (all-integer thresholds)."""
+    n_stopwords, n_tokens + is_quality flag (all-integer thresholds).
+
+    First full-corpus pass of the curation pipeline, so every counter is a
+    pandas ``str``-accessor C-loop (str.len / str.count with compiled
+    regexes) — no Python row iteration."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        texts = list(batch[text_col])
-        batch["n_chars"] = [len(t) for t in texts]
-        batch["n_punct"] = [len(_PUNCT.findall(t)) for t in texts]
-        batch["n_upper"] = [len(_UPPER.findall(t)) for t in texts]
-        batch["n_digit"] = [len(_DIGIT.findall(t)) for t in texts]
-        toks = [tokens_ws(t) for t in texts]
-        batch["n_tokens"] = [len(ts) for ts in toks]
-        batch["n_stopwords"] = [sum(1 for w in ts if w.lower() in STOPWORDS) for ts in toks]
+        s = batch[text_col]
+        batch["n_chars"] = s.str.len().astype("int64")
+        batch["n_punct"] = s.str.count(_PUNCT).astype("int64")
+        batch["n_upper"] = s.str.count(_UPPER).astype("int64")
+        batch["n_digit"] = s.str.count(_DIGIT).astype("int64")
+        batch["n_tokens"] = _token_count_series(s)
+        batch["n_stopwords"] = s.str.count(_STOPWORD_RE).astype("int64")
         # quality: >=10 tokens and punctuation below 20% of chars (integer math)
-        batch["is_quality"] = [
-            1 if (nt >= 10 and 5 * np_ <= nc) else 0
-            for nt, np_, nc in zip(batch["n_tokens"], batch["n_punct"], batch["n_chars"])
-        ]
+        batch["is_quality"] = (
+            (batch["n_tokens"].to_numpy() >= 10)
+            & (5 * batch["n_punct"].to_numpy() <= batch["n_chars"].to_numpy())
+        ).astype("int64")
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
@@ -80,19 +105,22 @@ def add_quality_stats(ds, text_col: str = "text"):
 
 def add_langid(ds, text_col: str = "text", out_col: str = "lang_pred"):
     """Deterministic language-ID: argmax of marker-word hits, ties broken
-    by LANG_ORDER; no hits -> 'und'."""
+    by LANG_ORDER; no hits -> 'und'. One compiled whole-token str.count
+    pass per language, then a single argmax over the count matrix."""
+
+    langs = LANG_ORDER[:-1]
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        preds = []
-        for t in batch[text_col]:
-            toks = [w.lower() for w in tokens_ws(t)]
-            best_lang, best_n = "und", 0
-            for lang in LANG_ORDER[:-1]:
-                n = sum(1 for w in toks if w in LANG_MARKERS[lang])
-                if n > best_n:
-                    best_lang, best_n = lang, n
-            preds.append(best_lang)
+        s = batch[text_col]
+        counts = np.stack(
+            [s.str.count(_LANG_MARKER_RE[lang]).to_numpy() for lang in langs]
+        )
+        # argmax returns the FIRST max -> LANG_ORDER tie-break for free;
+        # strictly-positive requirement maps all-zero rows to 'und'
+        best = counts.argmax(axis=0)
+        preds = np.array(langs, dtype=object)[best]
+        preds[counts.max(axis=0) == 0] = "und"
         batch[out_col] = preds
         return batch
 
