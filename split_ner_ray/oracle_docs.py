@@ -235,7 +235,9 @@ def materialized_docs_path(sf_dir: str) -> str:
     Atomic rename commit, safe under concurrent callers."""
     docs = os.path.join(sf_dir, "documents.parquet")
     name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/graft_oracle_docs/{name}_v2"
+    # _v3: SimHash token hash moved from per-string blake2b to the shared
+    # vectorized _hash_strings kernel, changing near-dup (hamming>0) pairs.
+    out = f"/tmp/graft_oracle_docs/{name}_v3"
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out

@@ -504,21 +504,46 @@ def minhash_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
-    toks = _WS.split(text.strip()) if text.strip() else []
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _h64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = np.uint64(1) << _BIT_SHIFTS
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace tokens (unweighted) for a
+    whole batch -> uint64 array. ONE `_hash_strings` call for all tokens,
+    then the bit matrix via `unpackbits` (uint8, no 64-wide int64
+    temporaries) and the per-doc majority vote via `np.add.reduceat`
+    segment sums — zero Python per-row work. The ±1 accumulator `> 0`
+    rule is equivalent to `2 * ones > count` on the raw bit sums.
+    Tokenless docs hash to 0 (the historical `simhash64('')` contract)."""
+    tok_lists = [t.split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    th = _hash_strings([w for toks in tok_lists for w in toks])
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    # (T, 64) uint8 bit matrix; bitorder='little' makes column i == bit i
+    bits = np.unpackbits(th.view(np.uint8), bitorder="little").reshape(-1, 64)
+    ends = np.cumsum(counts)
+    starts = (ends - counts)[nz]
+    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    maj = (2 * ones) > counts[nz, None]
+    out[nz] = (maj.astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return out
+
+
+def simhash64(text: str) -> int:
+    """Single-doc SimHash — thin wrapper over the batch kernel (shared by
+    the serial oracle, so engine and oracle hash identically)."""
+    return int(simhash_batch([text])[0])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bytewise unpackbits sum)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
 
 
 def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -533,38 +558,47 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     in duplicate-heavy buckets (same trade as candidate_pairs_from_bands)."""
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "band_val": [], "id": [], "sim": []}
-        for i, t in zip(batch[id_col].astype("int64"), batch[text_col]):
-            s = simhash64(t)
-            for b in range(4):
-                out["band"].append(b)
-                out["band_val"].append((s >> (16 * b)) & 0xFFFF)
-                out["id"].append(int(i))
-                out["sim"].append(s - (1 << 63))
-        return pd.DataFrame(out)
+        n = len(batch)
+        s = simhash_batch(list(batch[text_col]))
+        ids = batch[id_col].to_numpy(dtype="int64")
+        # 4 band rows per doc via repeat/tile — no per-row loop
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        srep = np.repeat(s, 4)
+        band_val = ((srep >> (np.uint64(16) * bands.astype(np.uint64)))
+                    & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band": bands,
+                "band_val": band_val,
+                "id": np.repeat(ids, 4),
+                # int64 carrier for the uint64 signature (offset encoding
+                # so the value survives pandas/Arrow int64 columns)
+                "sim": np.repeat(s.view(np.int64) ^ np.int64(-(1 << 63)), 4),
+            }
+        )
 
     rows = ds.map_batches(sigs, batch_format="pandas")
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        items = sorted(set(zip(group["id"].tolist(), group["sim"].tolist())))
-        src, dst = [], []
-        if len(items) > BUCKET_PAIR_CAP:
+        d = group.drop_duplicates("id").sort_values("id")
+        ids = d["id"].to_numpy(dtype=np.int64)
+        sims = (d["sim"].to_numpy(dtype=np.int64) ^ np.int64(-(1 << 63))).view(np.uint64)
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64")})
+        if k > BUCKET_PAIR_CAP:
             # duplicate-heavy bucket: star to the minimum (same rationale
             # as candidate_pairs_from_bands — O(k) instead of O(k^2))
-            ia, sa = items[0]
-            for ib, sb in items[1:]:
-                if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming:
-                    src.append(ia)
-                    dst.append(ib)
+            xi = np.zeros(k - 1, dtype=np.int64)
+            yi = np.arange(1, k, dtype=np.int64)
         else:
-            for x in range(len(items)):
-                for y in range(x + 1, len(items)):
-                    ia, sa = items[x]
-                    ib, sb = items[y]
-                    if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming:
-                        src.append(ia)
-                        dst.append(ib)
-        return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
+            xi, yi = np.triu_indices(k, k=1)
+        ok = _popcount64(sims[xi] ^ sims[yi]) <= max_hamming
+        return pd.DataFrame(
+            {"src": pd.array(ids[xi[ok]], dtype="int64"),
+             "dst": pd.array(ids[yi[ok]], dtype="int64")}
+        )
 
     from .relational import hash_aggregate
 
