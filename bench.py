@@ -98,6 +98,11 @@ def run_bench() -> dict:
         # round 3: the end-to-end curation pipeline (quality filter,
         # exact dedup, Bloom keeper re-select, langid, BPE counts)
         "docs_curation_funnel",
+        # round 4: regression visibility for the round-3 operator adds
+        "doc_tfidf_topk",
+        "kg_triangles",
+        "kg_pagerank",
+        "events_weekly_retention",
     )
     # best-of-N per query: this VM's wall clock varies +/-30% run to run,
     # so a single measurement is noise — the minimum of N in-session

@@ -15,6 +15,8 @@ SURVEY §2.3) with the engine's training-data ops (SURVEY §2.11).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from ..stages.dedup import exact_dedup
@@ -68,3 +70,89 @@ def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
         # (second Bloom build included)
         return rd.read_parquet(out_dir)
     return curated
+
+
+def curate_job(input_path: str, out_dir: str, *, id_col: str = "doc_id",
+               text_col: str = "text", files_per_group: int = 4,
+               stop_after_groups: int | None = None):
+    """Resumable curation job under the manifest/commit protocol of
+    ``pipelines/checkpointed.build_graph_job`` (north rule: resumes from
+    the last committed partition). Safe to re-invoke after a kill.
+
+      A. quality — per commit-group (a chunk of input parquet fragments,
+         ``state.manifest.plan_groups``): read -> vectorized quality
+         stats -> filter; write each group's survivors to its own parquet
+         dir under ``out_dir/_work/quality``; atomic manifest commit per
+         group. A kill between the data write and the commit leaves an
+         uncommitted group dir, which is DELETED and rewritten on resume
+         (write+commit is effectively atomic), so committed groups are
+         never double-counted.
+      B. global — exact dedup over the phase-A output (min-id keeper per
+         content hash: order-insensitive), Bloom re-select, langid + BPE
+         counts, write ``out_dir/curated`` partitioned by lang_pred, then
+         a final ``_SUCCESS``. Phase B is deterministic in the SET of
+         phase-A rows, so a resumed run is row-identical to an
+         uninterrupted one; a crash mid-phase-B leaves no _SUCCESS and
+         the partial curated dir is deleted and rewritten on resume.
+
+    ``stop_after_groups`` injects a mid-job kill for the resume test.
+    Returns the curated Dataset (read back from the committed output).
+    """
+    import shutil
+
+    import ray.data as rd
+
+    from ..state import manifest as mf
+
+    work = os.path.join(out_dir, "_work", "quality")
+    groups = mf.plan_groups(input_path, files_per_group)
+    done = mf.committed_groups(work)
+    ran = 0
+    for g in groups:
+        gid = g["group_id"]
+        if gid in done:
+            continue
+        if stop_after_groups is not None and ran >= stop_after_groups:
+            break
+        ds = rd.read_parquet(g["files"])
+        # group-sized materialize: write + count share one execution
+        q = add_quality_stats(ds, text_col).map_batches(
+            lambda b: b[b["is_quality"] == 1], batch_format="pandas"
+        ).materialize()
+        gdir = os.path.join(work, f"group={gid:05d}")
+        shutil.rmtree(gdir, ignore_errors=True)
+        q.write_parquet(gdir)
+        mf.commit_group(work, gid, {"group_id": gid,
+                                    "input_fragments": g["files"],
+                                    "rows_out": q.count()})
+        ran += 1
+    if stop_after_groups is not None:
+        return None  # simulated kill: job "died" before phase B
+    have = len(mf.committed_groups(work))
+    if have < len(groups):
+        raise RuntimeError(
+            f"quality phase incomplete: {have}/{len(groups)} groups committed")
+
+    cur_dir = os.path.join(out_dir, "curated")
+    success = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success):
+        return rd.read_parquet(cur_dir)
+    files = []
+    for g in groups:
+        gdir = os.path.join(work, f"group={g['group_id']:05d}")
+        files.extend(sorted(os.path.join(gdir, f) for f in os.listdir(gdir)
+                            if f.endswith(".parquet")))
+    quality = rd.read_parquet(files)
+    keepers = exact_dedup(quality, id_col=id_col, text_col=text_col)
+
+    def keep_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b["keep_id"].astype("int64")})
+
+    keep_ds = keepers.map_batches(keep_ids, batch_format="pandas").materialize()
+    kept = bloom_semi_join(quality, keep_ds, [id_col])
+    curated = add_bpe_token_counts(add_langid(kept, text_col), text_col)
+    shutil.rmtree(cur_dir, ignore_errors=True)  # partial output from a prior crash
+    curated.write_parquet(cur_dir, partition_cols=["lang_pred"])
+    with open(success, "w") as f:
+        f.write("ok")
+    return rd.read_parquet(cur_dir)

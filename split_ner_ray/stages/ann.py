@@ -22,10 +22,15 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+from .vectors import fixed_list_i8, fixed_list_f32, stack_rows, vec_matrix
 
 
-def _as_matrix(rows, vec_col: str) -> np.ndarray:
-    return np.array([list(map(float, r)) for r in rows], dtype=np.float64)
+def _as_matrix(rows, vec_col: str | None = None) -> np.ndarray:
+    """Driver-side (small) row collections only — hot per-batch paths use
+    ``vectors.vec_matrix`` on the Arrow column instead."""
+    return stack_rows(rows)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -56,6 +61,29 @@ def _topk_tie_safe(sims: np.ndarray, vids: np.ndarray, kk: int):
     kk = min(kk, len(vids))
     order = np.lexsort((vids, -sims))
     return order[:kk]
+
+
+def _topk_rows(sims: np.ndarray, all_qids: np.ndarray, vids: np.ndarray,
+               kk: int, probing=None) -> pd.DataFrame:
+    """Local top-kk partial rows for every scored query as ONE DataFrame —
+    array slicing per query row (query counts are small), no per-hit
+    Python appends. ``probing`` maps sims rows to indices into all_qids
+    (defaults to row order)."""
+    if probing is None:
+        probing = np.arange(sims.shape[0])
+    cols_q, cols_v, cols_s = [], [], []
+    for row_i in range(sims.shape[0]):
+        idx = _topk_tie_safe(sims[row_i], vids, kk)
+        cols_q.append(np.full(len(idx), all_qids[probing[row_i]], dtype=np.int64))
+        cols_v.append(vids[idx].astype(np.int64))
+        cols_s.append(sims[row_i, idx].astype(np.float64))
+    if not cols_q:
+        return pd.DataFrame({"qid": pd.array([], dtype="int64"),
+                             "vid": pd.array([], dtype="int64"),
+                             "sim": pd.array([], dtype="float64")})
+    return pd.DataFrame({"qid": np.concatenate(cols_q),
+                         "vid": np.concatenate(cols_v),
+                         "sim": np.concatenate(cols_s)})
 
 
 def _per_query_reduce(partials, k: int, exclude_self: bool):
@@ -90,21 +118,18 @@ def brute_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
 
     ref = ray.put((qids, qmat))
 
-    def local(batch: pd.DataFrame) -> pd.DataFrame:
+    def local(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _topk_rows(np.empty((0, 0)), qids, np.empty(0, np.int64), k)
         all_qids, qm = ray.get(ref)
-        vids = batch[id_col].to_numpy(dtype=np.int64)
-        m = _normalize(_as_matrix(batch[vec_col], vec_col))
+        vids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # zero-copy Arrow buffer view + ONE float64 cast — no per-row work
+        m = _normalize(vec_matrix(batch.column(vec_col)))
         sims = qm @ m.T  # (Q, B)
-        out = {"qid": [], "vid": [], "sim": []}
-        kk = k + (1 if exclude_self else 0)
-        for qi in range(sims.shape[0]):
-            for j in _topk_tie_safe(sims[qi], vids, kk):
-                out["qid"].append(int(all_qids[qi]))
-                out["vid"].append(int(vids[j]))
-                out["sim"].append(float(sims[qi, j]))
-        return pd.DataFrame(out)
+        return _topk_rows(sims, all_qids, vids,
+                          k + (1 if exclude_self else 0))
 
-    partials = emb_ds.map_batches(local, batch_format="pandas")
+    partials = emb_ds.map_batches(local, batch_format="pyarrow")
     return _per_query_reduce(partials, k, exclude_self)
 
 
@@ -156,19 +181,21 @@ def ivf_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
     cents = train_centroids(emb_ds, num_centroids, id_col=id_col, vec_col=vec_col)
     cref = ray.put(cents)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        m = _normalize(_as_matrix(batch[vec_col], vec_col))
-        sims = m @ c.T
-        return pd.DataFrame(
+        raw = vec_matrix(batch.column(vec_col))
+        sims = _normalize(raw) @ c.T
+        # embeddings stay Arrow fixed_size_list<float32> through the bucket
+        # shuffle (source parquet is float32 — lossless), never Python lists
+        return pa.table(
             {
-                "bucket": pd.array(np.argmax(sims, axis=1), dtype="int64"),
-                id_col: batch[id_col].astype("int64"),
-                vec_col: [list(map(float, v)) for v in batch[vec_col]],
+                "bucket": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                vec_col: fixed_list_f32(raw),
             }
         )
 
-    bucketed = emb_ds.map_batches(assign, batch_format="pandas")
+    bucketed = emb_ds.map_batches(assign, batch_format="pyarrow")
 
     # bucket -> list of probing queries (small driver-side table, broadcast)
     qsims = qmat @ cents.T
@@ -177,26 +204,31 @@ def ivf_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
         for b in np.argsort(-qsims[qi])[:nprobe]:
             probes_by_bucket.setdefault(int(b), []).append(qi)
     pref = ray.put((qids, qmat, probes_by_bucket))
+    kk = k + (1 if exclude_self else 0)
 
-    def search_buckets(g: pd.DataFrame) -> pd.DataFrame:
+    def search_buckets(g: pa.Table) -> pd.DataFrame:
         all_qids, qm, by_bucket = ray.get(pref)
-        out = {"qid": [], "vid": [], "sim": []}
-        kk = k + (1 if exclude_self else 0)
-        for bucket, sub in g.groupby("bucket", sort=False):
-            probing = by_bucket.get(int(bucket))
+        buckets = g.column("bucket").to_numpy(zero_copy_only=False)
+        vids_all = g.column(id_col).to_numpy(zero_copy_only=False)
+        m_all = _normalize(vec_matrix(g.column(vec_col)))
+        order = np.argsort(buckets, kind="stable")
+        bs, starts = np.unique(buckets[order], return_index=True)
+        ends = np.append(starts[1:], len(order))
+        frames = []
+        for bi, lo, hi in zip(bs, starts, ends):
+            probing = by_bucket.get(int(bi))
             if not probing:
                 continue
-            vids = sub[id_col].to_numpy(dtype=np.int64)
-            m = _normalize(_as_matrix(sub[vec_col], vec_col))
-            sims = qm[probing] @ m.T
-            for row_i, qi in enumerate(probing):
-                for j in _topk_tie_safe(sims[row_i], vids, kk):
-                    out["qid"].append(int(all_qids[qi]))
-                    out["vid"].append(int(vids[j]))
-                    out["sim"].append(float(sims[row_i, j]))
-        return pd.DataFrame(out)
+            sel = order[lo:hi]
+            sims = qm[probing] @ m_all[sel].T
+            frames.append(_topk_rows(sims, all_qids, vids_all[sel].astype(np.int64),
+                                     kk, probing=probing))
+        if not frames:
+            return _topk_rows(np.empty((0, 0)), qids, np.empty(0, np.int64), kk)
+        return pd.concat(frames, ignore_index=True)
 
-    partials = hash_aggregate(bucketed, ["bucket"], search_buckets)
+    partials = hash_aggregate(bucketed, ["bucket"], search_buckets,
+                              batch_format="pyarrow")
     return _per_query_reduce(partials, k, exclude_self)
 
 
@@ -225,14 +257,12 @@ def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
     cents = train_centroids(emb_ds, num_centroids, id_col=id_col, vec_col=vec_col)
     cref = ray.put(cents)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        m = _normalize(_as_matrix(batch[vec_col], vec_col))
-        b = np.argmax(m @ c.T, axis=1)
+        raw = vec_matrix(batch.column(vec_col))
+        b = np.argmax(_normalize(raw) @ c.T, axis=1)
+        ids = batch.column(id_col).cast(pa.int64())
         if quantize:
-            import pyarrow as pa
-
-            raw = _as_matrix(batch[vec_col], vec_col)
             scale = np.abs(raw).max(axis=1) / 127.0
             scale[scale == 0] = 1.0
             q = np.clip(np.round(raw / scale[:, None]), -127, 127).astype(np.int8)
@@ -241,22 +271,24 @@ def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
             # pandas batch (and plain Python lists would re-widen to int64)
             return pa.table(
                 {
-                    "bucket": pa.array(b, type=pa.int64()),
-                    id_col: pa.array(batch[id_col].to_numpy(dtype=np.int64)),
-                    "q": pa.FixedSizeListArray.from_arrays(
-                        pa.array(q.reshape(-1), type=pa.int8()), q.shape[1]),
+                    "bucket": pa.array(b.astype(np.int64)),
+                    id_col: ids,
+                    "q": fixed_list_i8(q),
                     "scale": pa.array(scale, type=pa.float64()),
                 }
             )
-        return pd.DataFrame(
+        # float lists stored as fixed_size_list<float32> — the source
+        # embedding column is float32, so this is lossless and half the
+        # bytes of the list<double> layout it replaces
+        return pa.table(
             {
-                "bucket": pd.array(b, dtype="int64"),
-                id_col: batch[id_col].astype("int64"),
-                vec_col: [list(map(float, v)) for v in batch[vec_col]],
+                "bucket": pa.array(b.astype(np.int64)),
+                id_col: ids,
+                vec_col: fixed_list_f32(raw),
             }
         )
 
-    emb_ds.map_batches(assign, batch_format="pandas").write_parquet(
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["bucket"]
     )
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
@@ -294,32 +326,21 @@ def ivf_search_index(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
         if not os.path.isdir(bdir):
             continue  # empty inverted list
 
-        def score(batch, probing=tuple(probing)) -> pd.DataFrame:
+        def score(batch: pa.Table, probing=tuple(probing)) -> pd.DataFrame:
+            if len(batch) == 0:
+                return _topk_rows(np.empty((0, 0)), qids, np.empty(0, np.int64), kk)
             all_qids, qm = ray.get(pref)
+            vids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             if quantized:
-                import pyarrow.compute as pc
-
-                vids = batch.column(id_col).to_numpy().astype(np.int64)
-                qarr = batch.column("q").combine_chunks()
-                flat = pc.list_flatten(qarr).to_numpy(zero_copy_only=False)
-                raw = flat.astype(np.float64).reshape(len(batch), -1)
-                raw *= batch.column("scale").to_numpy()[:, None]
+                raw = vec_matrix(batch.column("q"))
+                raw *= batch.column("scale").to_numpy(zero_copy_only=False)[:, None]
             else:
-                vids = batch[id_col].to_numpy(dtype=np.int64)
-                raw = _as_matrix(batch[vec_col], vec_col)
-            m = _normalize(raw)
-            sims = qm[list(probing)] @ m.T
-            out = {"qid": [], "vid": [], "sim": []}
-            for row_i, qi in enumerate(probing):
-                for j in _topk_tie_safe(sims[row_i], vids, kk):
-                    out["qid"].append(int(all_qids[qi]))
-                    out["vid"].append(int(vids[j]))
-                    out["sim"].append(float(sims[row_i, j]))
-            return pd.DataFrame(out)
+                raw = vec_matrix(batch.column(vec_col))
+            sims = qm[list(probing)] @ _normalize(raw).T
+            return _topk_rows(sims, all_qids, vids, kk, probing=list(probing))
 
         partials.append(
-            rd.read_parquet(bdir).map_batches(
-                score, batch_format="pyarrow" if quantized else "pandas")
+            rd.read_parquet(bdir).map_batches(score, batch_format="pyarrow")
         )
     if not partials:
         return rd.from_pandas(pd.DataFrame({"qid": [], "vid": [], "rank": []}))
@@ -342,21 +363,23 @@ def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
     ``dequantize_batch`` (or brute_topk_quantized) to search over it.
     """
 
-    def quant(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[vec_col], vec_col)
+    def quant(batch: pa.Table) -> pa.Table:
+        m = vec_matrix(batch.column(vec_col))
         scale = np.abs(m).max(axis=1) / 127.0
         scale[scale == 0] = 1.0
         q = np.clip(np.round(m / scale[:, None]), -127, 127).astype(np.int8)
-        return pd.DataFrame({
-            id_col: batch[id_col].to_numpy(dtype=np.int64),
-            "q": list(q),
-            "scale": scale.astype(np.float64),
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "q": fixed_list_i8(q),
+            "scale": pa.array(scale, type=pa.float64()),
         })
 
-    return emb_ds.map_batches(quant, batch_format="pandas")
+    return emb_ds.map_batches(quant, batch_format="pyarrow")
 
 
 def dequantize_batch(batch: pd.DataFrame) -> np.ndarray:
+    """pandas-side dequantize (tests/driver convenience); pipelines use the
+    Arrow column path in brute_topk_quantized / ivf_search_index."""
     q = np.stack([np.asarray(v, dtype=np.float64) for v in batch["q"]])
     return q * batch["scale"].to_numpy()[:, None]
 
@@ -370,20 +393,17 @@ def brute_topk_quantized(qemb_ds, qids: np.ndarray, qmat: np.ndarray,
     import ray
 
     ref = ray.put((qids, qmat))
+    kk = k + (1 if exclude_self else 0)
 
-    def local(batch: pd.DataFrame) -> pd.DataFrame:
+    def local(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _topk_rows(np.empty((0, 0)), qids, np.empty(0, np.int64), kk)
         all_qids, qm = ray.get(ref)
-        vids = batch[id_col].to_numpy(dtype=np.int64)
-        m = _normalize(dequantize_batch(batch))
-        sims = qm @ m.T
-        out = {"qid": [], "vid": [], "sim": []}
-        kk = k + (1 if exclude_self else 0)
-        for qi in range(sims.shape[0]):
-            for j in _topk_tie_safe(sims[qi], vids, kk):
-                out["qid"].append(int(all_qids[qi]))
-                out["vid"].append(int(vids[j]))
-                out["sim"].append(float(sims[qi, j]))
-        return pd.DataFrame(out)
+        vids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = vec_matrix(batch.column("q"))
+        raw *= batch.column("scale").to_numpy(zero_copy_only=False)[:, None]
+        sims = qm @ _normalize(raw).T
+        return _topk_rows(sims, all_qids, vids, kk)
 
-    partials = qemb_ds.map_batches(local, batch_format="pandas")
+    partials = qemb_ds.map_batches(local, batch_format="pyarrow")
     return _per_query_reduce(partials, k, exclude_self)

@@ -725,104 +725,124 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
 
     from .relational import hash_aggregate
 
+    from .vectors import fixed_list_f32, stack_rows, vec_matrix
+
     if not lsh:
         mat_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
         ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
-        mat = np.array([r[vec_col] for r in mat_rows], dtype=np.float64)
+        mat = stack_rows([r[vec_col] for r in mat_rows])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         ref = ray.put((ids, mat / norms[:, None]))
 
-        def brute(batch: pd.DataFrame) -> pd.DataFrame:
+        def brute(batch: pa.Table) -> pd.DataFrame:
             # ray.get resolves from the worker-local object store after the
             # first call — the broadcast is shipped once per node, not per batch
             all_ids, matn = ray.get(ref)
-            v = np.array(list(batch[vec_col]), dtype=np.float64)
+            qids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = vec_matrix(batch.column(vec_col))
             n = np.linalg.norm(v, axis=1)
             n[n == 0] = 1.0
             sims = (v / n[:, None]) @ matn.T
-            src, dst = [], []
-            for row_i, qid in enumerate(batch[id_col].astype("int64")):
-                hits = all_ids[sims[row_i] >= threshold]
-                for h in hits:
-                    if qid < h:
-                        src.append(int(qid))
-                        dst.append(int(h))
+            # (row, hit) index pairs in one pass; keep qid < hit ordering
+            ri, ci = np.nonzero(sims >= threshold)
+            src, dst = qids[ri], all_ids[ci]
+            keep = src < dst
             return pd.DataFrame(
-                {"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")}
+                {"src": pd.array(src[keep], dtype="int64"),
+                 "dst": pd.array(dst[keep], dtype="int64")}
             )
 
-        return emb_ds.map_batches(brute, batch_format="pandas")
+        return emb_ds.map_batches(brute, batch_format="pyarrow")
 
     # LSH path: only the embedding DIMENSION is read on the driver
     dim = len(emb_ds.take(1)[0][vec_col])
     rng = np.random.RandomState(seed)
     planes_ref = ray.put(rng.randn(num_tables, num_planes, dim))
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(batch: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
-        v = np.array(list(batch[vec_col]), dtype=np.float64)
-        ids = batch[id_col].astype("int64").to_numpy()
-        vecs = [list(map(float, x)) for x in v]
-        frames = []
-        for t in range(planes.shape[0]):
+        v = vec_matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        L, P = planes.shape[0], planes.shape[1]
+        n = len(ids)
+        weights = 1 << np.arange(P, dtype=np.int64)
+        buckets = np.empty((L, n), dtype=np.int64)
+        for t in range(L):
             bits = (v @ planes[t].T) > 0
-            bucket = bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        # table id folded into the bucket key so tables
-                        # never mix inside one bucket group
-                        "bucket": pd.array(
-                            bucket * planes.shape[0] + t, dtype="int64"
-                        ),
-                        "id": ids,
-                        "vec": vecs,
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            # table id folded into the bucket key so tables never mix
+            # inside one bucket group
+            buckets[t] = (bits @ weights) * L + t
+        # vectors ride the bucket shuffle as Arrow fixed_size_list<float32>
+        # (lossless: the source column is float32) — the same fix that took
+        # the MinHash verify join from 157s to 17.6s; `take` repeats the
+        # row block per table without a Python copy loop
+        vec32 = fixed_list_f32(v)
+        rep = np.tile(np.arange(n, dtype=np.int64), L)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.reshape(-1)),
+                "id": pa.array(np.tile(ids, L)),
+                "vec": vec32.take(pa.array(rep)),
+            }
+        )
 
-    rows = emb_ds.map_batches(bucketize, batch_format="pandas")
+    rows = emb_ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(group["id"].to_numpy())
-        ids_l = group["id"].to_numpy()[order]
-        vecs = np.array(group["vec"].tolist(), dtype=np.float64)[order]
-        n = np.linalg.norm(vecs, axis=1)
-        n[n == 0] = 1.0
-        vn = vecs / n[:, None]
-        src, dst = [], []
-        if len(ids_l) > BUCKET_PAIR_CAP * 4:
+    def _bucket_pairs(ids_l: np.ndarray, vn: np.ndarray):
+        """Pairs >= threshold within one LSH bucket (rows sorted by id)."""
+        k = len(ids_l)
+        if k < 2:
+            return None
+        if k > BUCKET_PAIR_CAP * 4:
             # duplicate-heavy bucket: star-verify against the min id only
             # (O(k) memory/compute instead of a k x k sims matrix)
             sims0 = vn[1:] @ vn[0]
-            for j in np.nonzero(sims0 >= threshold)[0]:
-                if ids_l[0] != ids_l[j + 1]:
-                    src.append(int(ids_l[0]))
-                    dst.append(int(ids_l[j + 1]))
-        else:
-            sims = vn @ vn.T
-            for x in range(len(ids_l)):
-                for y in range(x + 1, len(ids_l)):
-                    if sims[x, y] >= threshold and ids_l[x] != ids_l[y]:
-                        a, b = sorted((int(ids_l[x]), int(ids_l[y])))
-                        src.append(a)
-                        dst.append(b)
-        return pd.DataFrame({"src": pd.array(src, dtype="int64"), "dst": pd.array(dst, dtype="int64")})
+            hit = (sims0 >= threshold) & (ids_l[1:] != ids_l[0])
+            return (np.full(int(hit.sum()), ids_l[0], dtype=np.int64),
+                    ids_l[1:][hit])
+        sims = vn @ vn.T
+        xi, yi = np.triu_indices(k, k=1)
+        ok = (sims[xi, yi] >= threshold) & (ids_l[xi] != ids_l[yi])
+        a, b = ids_l[xi[ok]], ids_l[yi[ok]]
+        return np.minimum(a, b), np.maximum(a, b)
 
-    def buckets_fn(g: pd.DataFrame) -> pd.DataFrame:
-        # one task handles many LSH buckets — no per-bucket UDF dispatch
-        frames = [per_bucket(sub) for _k, sub in g.groupby("bucket", sort=False)]
-        return pd.concat(frames, ignore_index=True) if frames else per_bucket(g)
+    def buckets_fn(g: pa.Table) -> pd.DataFrame:
+        # one task handles many LSH buckets — no per-bucket UDF dispatch;
+        # normalize the whole task's matrix ONCE, then slice id-sorted runs
+        buckets = g.column("bucket").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = vec_matrix(g.column("vec"))
+        nrm = np.linalg.norm(vecs, axis=1)
+        nrm[nrm == 0] = 1.0
+        vn = vecs / nrm[:, None]
+        order = np.lexsort((ids, buckets))
+        _, starts = np.unique(buckets[order], return_index=True)
+        ends = np.append(starts[1:], len(order))
+        srcs, dsts = [], []
+        for lo, hi in zip(starts, ends):
+            sel = order[lo:hi]
+            got = _bucket_pairs(ids[sel], vn[sel])
+            if got is not None and len(got[0]):
+                srcs.append(got[0])
+                dsts.append(got[1])
+        if not srcs:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64")})
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts)})
 
-    pairs = hash_aggregate(rows, ["bucket"], buckets_fn)
+    pairs = hash_aggregate(rows, ["bucket"], buckets_fn, batch_format="pyarrow")
     return hash_aggregate(pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))
+
+
+BROADCAST_SIZES_LIMIT = 2_000_000
 
 
 def fuzzy_self_jaccard(ds, id_col: str, text_col: str, *, num: int = 1,
                        den: int = 2, num_buckets: int = 64,
-                       max_token_df: int | None = None):
+                       max_token_df: int | None = None,
+                       broadcast_sizes_limit: int = BROADCAST_SIZES_LIMIT):
     """Fuzzy self-join on token-set Jaccard (entity-resolution shape):
     all id pairs whose lowercased whitespace-token sets satisfy
     |A∩B| / |A∪B| >= num/den, compared as integers (den*inter >=
@@ -831,15 +851,20 @@ def fuzzy_self_jaccard(ds, id_col: str, text_col: str, *, num: int = 1,
     Composition: intersection sizes ARE co-occurrence pair counts with
     the TOKEN as the group key (graph.cooccurrence_pairs — one bucketed
     self-merge per token bucket, partials aggregated on the pair key);
-    per-id set sizes are batch-local (row = whole record) and broadcast
-    back (partition-join them instead at >10^8 ids). ``max_token_df``
-    caps a stop-token's block (first-k ids in sort order, documented
-    pairs-level recall loss in cooccurrence_pairs) — the standard
-    prefix-filtering concession for tokens shared by half the corpus.
+    per-id set sizes are batch-local (row = whole record) and joined
+    back. The size table is one row per input id — corpus-growing, not
+    vocabulary-bounded — so above ``broadcast_sizes_limit`` rows it is
+    joined via two bucketed ``partitioned_join`` exchanges (int-key
+    shuffles of (id, n) pairs) instead of driver-``to_pandas`` +
+    broadcast; both paths are result-identical (tested either side of
+    the threshold). ``max_token_df`` caps a stop-token's block (first-k
+    ids in sort order, documented pairs-level recall loss in
+    cooccurrence_pairs) — the standard prefix-filtering concession for
+    tokens shared by half the corpus.
     Output: (<id>_1, <id>_2, inter, uni) with id_1 < id_2.
     """
     from .graph import cooccurrence_pairs
-    from .relational import broadcast_join
+    from .relational import broadcast_join, partitioned_join
 
     def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
         toks = b[text_col].str.lower().str.strip().str.split().map(
@@ -860,11 +885,25 @@ def fuzzy_self_jaccard(ds, id_col: str, text_col: str, *, num: int = 1,
     inter = cooccurrence_pairs(rows, ["tok"], [id_col],
                                num_buckets=num_buckets,
                                max_group_items=max_token_df)
-    size_df = ds.map_batches(sizes, batch_format="pandas").to_pandas()
     i1, i2 = f"{id_col}_1", f"{id_col}_2"
-    s1 = size_df.rename(columns={id_col: i1, "n": "n_1"})
-    s2 = size_df.rename(columns={id_col: i2, "n": "n_2"})
-    joined = broadcast_join(broadcast_join(inter, s1, [i1]), s2, [i2])
+    if ds.count() <= broadcast_sizes_limit:
+        size_df = ds.map_batches(sizes, batch_format="pandas").to_pandas()
+        s1 = size_df.rename(columns={id_col: i1, "n": "n_1"})
+        s2 = size_df.rename(columns={id_col: i2, "n": "n_2"})
+        joined = broadcast_join(broadcast_join(inter, s1, [i1]), s2, [i2])
+    else:
+        # corpus-scale fallback: the (id, n) size table never touches the
+        # driver — two bucketed int-key partitioned joins instead
+        sz = ds.map_batches(sizes, batch_format="pandas")
+        s1d = sz.map_batches(
+            lambda b: b.rename(columns={id_col: i1, "n": "n_1"}),
+            batch_format="pandas")
+        s2d = sz.map_batches(
+            lambda b: b.rename(columns={id_col: i2, "n": "n_2"}),
+            batch_format="pandas")
+        joined = partitioned_join(
+            partitioned_join(inter, s1d, [i1], num_buckets=num_buckets),
+            s2d, [i2], num_buckets=num_buckets)
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         uni = b["n_1"] + b["n_2"] - b["n_pair"]

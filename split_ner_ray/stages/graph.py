@@ -430,8 +430,13 @@ def group_item_marginals(ds, group_keys: list[str], item_keys: list[str], *,
     return hash_aggregate(partials, item_keys, sum_items, num_buckets=num_buckets)
 
 
+BROADCAST_DEGREES_LIMIT = 2_000_000
+
+
 def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
-                   num_buckets: int = 64, broadcast_degrees: bool = True) -> int:
+                   num_buckets: int = 64,
+                   broadcast_degrees: bool | None = None,
+                   broadcast_degrees_limit: int = BROADCAST_DEGREES_LIMIT) -> int:
     """Exact triangle count via degree-ordered wedge checking (the
     MapReduce-classic: orient each edge toward its higher-(degree, id)
     endpoint so every node's oriented out-degree is O(sqrt(m)); then a
@@ -439,9 +444,11 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
     edge v->w exists).
 
     Passes: (1) one bucketed dedup of undirected (min, max) edges —
-    self-loops dropped; (2) degree aggregate (|V|-sized, broadcast back
-    by default; broadcast_degrees=False swaps in partitioned joins for
-    billion-node graphs); (3) wedge generation per oriented-source
+    self-loops dropped; (2) degree aggregate (|V|-sized; broadcast back
+    when |V| <= broadcast_degrees_limit, else partitioned joins — the
+    switch is AUTOMATIC by node count, mirroring SMALL_GRAPH_EDGES, so a
+    billion-node graph can't driver-OOM by default; pass
+    broadcast_degrees=True/False to pin a regime); (3) wedge generation per oriented-source
     bucket (vectorized self-merge, no per-node dispatch — the degree
     orientation is what bounds a hub's wedge fan-out); (4) one cogroup
     of wedges vs oriented edges counting closures. Returns the exact
@@ -476,6 +483,12 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
 
     degrees = hash_aggregate(edges.map_batches(endpoints, batch_format="pandas"),
                              ["node"], deg_agg, num_buckets=num_buckets)
+
+    if broadcast_degrees is None:
+        # |V| decides the regime; materialize so the count and the two
+        # degree joins share one execution of the aggregate
+        degrees = degrees.materialize()
+        broadcast_degrees = degrees.count() <= broadcast_degrees_limit
 
     du = degrees.to_pandas().rename(columns={"node": "u", "deg": "deg_u"}) \
         if broadcast_degrees else None

@@ -133,3 +133,53 @@ def test_crash_between_write_and_commit_is_idempotent(ray_session, transcripts_d
     m_crash = pq.read_table(os.path.join(crashed, "_work", "mentions",
                                          f"group={victim:05d}")).num_rows
     assert m_clean == m_crash
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    """sf0.001 documents re-sharded into 5 parquet fragments."""
+    d = tmp_path_factory.mktemp("docs_shards")
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    n = tbl.num_rows
+    step = (n + 4) // 5
+    for i in range(5):
+        pq.write_table(tbl.slice(i * step, step),
+                       os.path.join(str(d), f"part-{i:05d}.parquet"))
+    return str(d)
+
+
+def test_curate_job_kill_and_resume_identical(ray_session, docs_dir, tmp_path):
+    """VERDICT r3 item 7: curation under the manifest/commit protocol —
+    a kill after K committed quality groups AND a torn write-without-
+    commit group both resume to row-identical curated output."""
+    from split_ner_ray.pipelines.curate import curate_job
+    from split_ner_ray.state import manifest as mf
+
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    curate_job(docs_dir, clean, files_per_group=1)
+    assert os.path.exists(os.path.join(clean, "_SUCCESS"))
+
+    r = curate_job(docs_dir, crashed, files_per_group=1, stop_after_groups=2)
+    assert r is None
+    work = os.path.join(crashed, "_work", "quality")
+    committed = sorted(mf.committed_groups(work))
+    assert len(committed) == 2
+    assert not os.path.exists(os.path.join(crashed, "_SUCCESS"))
+    # torn state: victim group's parquet stays on disk, manifest deleted
+    victim = committed[-1]
+    os.remove(os.path.join(work, "_manifest", f"part-{victim:05d}.json"))
+
+    curate_job(docs_dir, crashed, files_per_group=1)
+    assert os.path.exists(os.path.join(crashed, "_SUCCESS"))
+    assert len(mf.committed_groups(work)) == 5
+    a = _read_sorted(os.path.join(clean, "curated"))
+    b = _read_sorted(os.path.join(crashed, "curated"))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # the torn group was rewritten, not appended to
+    v_clean = pq.read_table(os.path.join(clean, "_work", "quality",
+                                         f"group={victim:05d}")).num_rows
+    v_crash = pq.read_table(os.path.join(crashed, "_work", "quality",
+                                         f"group={victim:05d}")).num_rows
+    assert v_clean == v_crash

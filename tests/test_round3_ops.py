@@ -1132,6 +1132,21 @@ def test_triangle_count_vs_bruteforce(rd, n, m, bcast):
     assert got == want
 
 
+def test_triangle_count_auto_degree_regime(rd):
+    """broadcast_degrees=None picks the regime from |V|: a tiny limit
+    forces the partitioned-join path, which must agree with broadcast."""
+    from split_ner_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(3)
+    e = pd.DataFrame({"src": rng.integers(0, 40, 300),
+                      "dst": rng.integers(0, 40, 300)})
+    ds = rd.from_pandas(e)
+    auto_part = triangle_count(ds, num_buckets=8, broadcast_degrees_limit=0)
+    pinned = triangle_count(rd.from_pandas(e), num_buckets=8,
+                            broadcast_degrees=True)
+    assert auto_part == pinned > 0
+
+
 def test_triangle_count_known_graphs(rd):
     from split_ner_ray.stages.graph import triangle_count
 
@@ -1431,6 +1446,31 @@ def test_fuzzy_self_jaccard_hand_fixture(rd):
     # 1 vs 2: {small,red,ring} ∩ {small,blue,ring} = 2, uni 4 -> 1/2 kept
     # 1 vs 4: identical -> 3/3 kept; 2 vs 4 same as 1 vs 2; 3 pairs total
     assert got == {(1, 2): (2, 4), (1, 4): (3, 3), (2, 4): (2, 4)}
+
+
+def test_fuzzy_self_jaccard_partitioned_sizes_path_equal(rd):
+    """broadcast_sizes_limit=0 forces the partitioned-join size path; the
+    result must be identical to the default broadcast path (the 10^8-id
+    scale fallback is not allowed to change semantics)."""
+    from split_ner_ray.stages.dedup import fuzzy_self_jaccard
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(40)]
+    names = [" ".join(rng.choice(vocab, size=rng.integers(2, 6)))
+             for _ in range(120)]
+    df = pd.DataFrame({"id": np.arange(120), "name": names})
+
+    def norm(out):
+        return (out.sort_values(["id_1", "id_2"]).reset_index(drop=True)
+                [["id_1", "id_2", "inter", "uni"]].astype("int64"))
+
+    bc = fuzzy_self_jaccard(rd.from_pandas(df), "id", "name",
+                            num=1, den=3, num_buckets=8).to_pandas()
+    part = fuzzy_self_jaccard(rd.from_pandas(df), "id", "name",
+                              num=1, den=3, num_buckets=8,
+                              broadcast_sizes_limit=0).to_pandas()
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(norm(bc), norm(part))
 
 
 def test_deterministic_shuffle_parallelism_invariant(rd):
