@@ -2742,6 +2742,138 @@ QUERIES.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# round 4: line-level dedup, within-doc repetition, benchmark contamination
+# ---------------------------------------------------------------------------
+
+LINE_SEP = " join "  # the synthetic docs are single-line; a token delimiter
+CONTAM_MOD = 97      # benchmark side = docs with doc_id % CONTAM_MOD == 0
+
+
+def doc_line_dedup(sf_dir: str):
+    """CCNet-style boilerplate-line removal (D-family engine addition):
+    per doc, how many '{sep}'-delimited segments survive a corpus-wide
+    df<=2 filter, plus the md5 of the reassembled text (exact rewrite
+    check)."""
+    import hashlib
+
+    from .stages.dedup import line_dedup_docs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = line_dedup_docs(ds, max_line_df=2, sep=LINE_SEP).to_pandas()
+    out["clean_md5"] = [hashlib.md5(t.encode()).hexdigest() for t in out["text"]]
+    return (out[["doc_id", "n_lines", "n_kept", "clean_md5"]]
+            .astype({"doc_id": "int64", "n_lines": "int64", "n_kept": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+LINE_DEDUP_SQL = f"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, '{LINE_SEP}') AS arr FROM documents
+), lines AS (
+  SELECT doc_id, i.g AS i, arr[i.g] AS line
+  FROM ls, UNNEST(generate_series(1, len(arr))) AS i(g)
+), df AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(*) > 2
+), kept AS (
+  SELECT l.doc_id, l.i, l.line
+  FROM lines l LEFT JOIN df d USING (line) WHERE d.line IS NULL
+), re AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(line, '{LINE_SEP}' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(len(l.arr) AS BIGINT) AS n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.txt, '')) AS clean_md5
+FROM ls l LEFT JOIN re r USING (doc_id) ORDER BY l.doc_id
+"""
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style duplicate-3-gram counts per doc (quality-filter
+    signal), integer-exact."""
+    from .stages.text import add_repetition_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = add_repetition_stats(ds, "text", ngram=3).to_pandas()
+    return (df[["doc_id", "rep_ngrams", "rep_distinct"]]
+            .astype("int64").sort_values("doc_id").reset_index(drop=True))
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rep_ngrams,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS rep_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.rep_ngrams, 0) AS rep_ngrams,
+       COALESCE(a.rep_distinct, 0) AS rep_distinct
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def doc_contamination(sf_dir: str):
+    """Benchmark-contamination flags: distinct 3-gram overlap of every doc
+    against the shingle set of the deterministic benchmark slice
+    (doc_id % CONTAM_MOD == 0). The benchmark side is eval-set-sized and
+    broadcast; the corpus streams once."""
+    from .stages.text import flag_contaminated
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bench_rows = ds.map_batches(
+        lambda b: b[b["doc_id"] % CONTAM_MOD == 0], batch_format="pandas"
+    ).take_all()
+    shingles = []
+    for r in bench_rows:
+        toks = r["text"].split()
+        shingles.extend(" ".join(toks[i:i + 3])
+                        for i in range(max(0, len(toks) - 2)))
+    df = flag_contaminated(ds, shingles, ngram=3, min_overlap=1).to_pandas()
+    return (df[["doc_id", "contam_ngrams", "contam_overlap", "contaminated"]]
+            .astype("int64").sort_values("doc_id").reset_index(drop=True))
+
+
+CONTAMINATION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), dsh AS (
+  SELECT DISTINCT doc_id, s FROM sh
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+), ov AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS contam_ngrams,
+         CAST(COUNT(b.s) AS BIGINT) AS contam_overlap
+  FROM dsh d LEFT JOIN bench b USING (s) GROUP BY d.doc_id
+)
+SELECT d.doc_id, COALESCE(o.contam_ngrams, 0) AS contam_ngrams,
+       COALESCE(o.contam_overlap, 0) AS contam_overlap,
+       CAST(COALESCE(o.contam_overlap, 0) >= 1 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN ov o USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "doc_line_dedup": (doc_line_dedup, LINE_DEDUP_SQL),
+        "doc_repetition": (doc_repetition, REPETITION_SQL),
+        "doc_contamination": (doc_contamination, CONTAMINATION_SQL),
+    }
+)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """The driver-facing oracle-SQL dict: templates referencing the
     synthetic transcripts parquet are resolved (and the corpus

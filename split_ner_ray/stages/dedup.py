@@ -913,3 +913,118 @@ def fuzzy_self_jaccard(ds, id_col: str, text_col: str, *, num: int = 1,
         return out[[i1, i2, "inter", "uni"]]
 
     return joined.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+DUP_LINES_BROADCAST_LIMIT = 5_000_000
+
+
+def line_dedup_docs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    max_line_df: int = 2, sep: str = "\n",
+                    dup_broadcast_limit: int = DUP_LINES_BROADCAST_LIMIT):
+    """CCNet-style line-level dedup: remove every line whose corpus-wide
+    document-frequency exceeds ``max_line_df`` (navigation chrome, cookie
+    banners, boilerplate headers), preserving the order of surviving
+    lines. Adds ``n_lines`` / ``n_kept`` and rewrites ``text_col``.
+
+    Shape: pass 1 counts line frequencies with per-batch ``value_counts``
+    partials and ONE bucketed string-key aggregate (the df filter runs
+    inside the aggregate, so only lines ALREADY over the threshold — the
+    boilerplate set, not the corpus line set — ever leave it). When that
+    set fits ``dup_broadcast_limit`` it is broadcast (ray.put once) and
+    pass 2 rewrites each batch locally with ZERO further shuffles. Above
+    the limit, the distributed fallback left-tags exploded (id, pos,
+    line) rows against the dup set in one line-key cogroup and reassembles
+    docs in one id-key aggregate — two int/string-key exchanges, nothing
+    driver-sized; both paths are result-identical (tested either side of
+    the threshold) except that the fallback carries only
+    (id, text, n_lines, n_kept) while the broadcast path preserves all
+    input columns. ``sep`` is the line delimiter (real corpora: newline;
+    the oracle-checked query uses a token delimiter because the synthetic
+    documents table is single-line).
+    """
+    import ray
+
+    from .relational import cogroup, hash_aggregate, sides
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[text_col].str.split(sep, regex=False).explode().value_counts()
+        return pd.DataFrame({"line": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def over_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("line", as_index=False)["n"].sum()
+        return out.loc[out["n"] > max_line_df, ["line"]]
+
+    dup_ds = hash_aggregate(
+        ds.map_batches(partials, batch_format="pandas"), ["line"], over_df
+    ).materialize()
+
+    if dup_ds.count() <= dup_broadcast_limit:
+        dup_df = dup_ds.to_pandas()
+        dup_ref = ray.put(dup_df["line"].to_numpy(dtype=object))
+
+        def rewrite(b: pd.DataFrame) -> pd.DataFrame:
+            dup = ray.get(dup_ref)
+            split_lists = b[text_col].str.split(sep, regex=False)
+            counts = split_lists.map(len).to_numpy()
+            flat = split_lists.explode().to_numpy(dtype=object)
+            keep = ~pd.Index(flat).isin(dup)
+            ends = np.cumsum(counts)
+            texts = []
+            kept_counts = np.empty(len(counts), dtype=np.int64)
+            lo = 0
+            for i, hi in enumerate(ends):
+                m = keep[lo:hi]
+                kept_counts[i] = int(m.sum())
+                texts.append(sep.join(flat[lo:hi][m]))
+                lo = hi
+            out = b.copy()
+            out["n_lines"] = counts.astype(np.int64)
+            out["n_kept"] = kept_counts
+            out[text_col] = texts
+            return out
+
+        return ds.map_batches(rewrite, batch_format="pandas")
+
+    # distributed fallback: nothing driver-sized
+    def explode_rows(b: pd.DataFrame) -> pd.DataFrame:
+        split_lists = b[text_col].str.split(sep, regex=False)
+        counts = split_lists.map(len).to_numpy()
+        return pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(), counts),
+            "pos": _ranges(counts),
+            "line": split_lists.explode().to_numpy(dtype=object),
+        })
+
+    lines = ds.map_batches(explode_rows, batch_format="pandas")
+
+    def tag_bucket(group) -> pd.DataFrame:
+        lt, rt = sides(group)
+        lg = lt.select([id_col, "pos", "line"]).to_pandas()
+        dup_lines = rt.select(["line"]).to_pandas()["line"]
+        lg["dup"] = lg["line"].isin(set(dup_lines))
+        return lg
+
+    tagged = cogroup(lines, dup_ds, ["line"], tag_bucket)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids, idx, counts = np.unique(g[id_col].to_numpy(),
+                                     return_index=True, return_counts=True)
+        flat = g["line"].to_numpy(dtype=object)
+        dup = g["dup"].to_numpy(dtype=bool)
+        texts = []
+        kept_counts = np.empty(len(ids), dtype=np.int64)
+        for i, (lo, c) in enumerate(zip(idx, counts)):
+            m = ~dup[lo:lo + c]
+            kept_counts[i] = int(m.sum())
+            texts.append(sep.join(flat[lo:lo + c][m]))
+        return pd.DataFrame({id_col: ids, text_col: texts,
+                             "n_lines": counts.astype(np.int64),
+                             "n_kept": kept_counts})
+
+    return hash_aggregate(tagged, [id_col], reassemble)

@@ -175,6 +175,123 @@ def add_fingerprint(ds, text_col: str = "text", ngram: int = 3,
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _window_hashes(texts: list[str], ngram: int):
+    """Per-doc token n-gram window hashes, fully vectorized: ONE batched
+    token-hash call (dedup._hash_strings), window values combined from
+    shifted views with a polynomial mix, windows never crossing doc
+    boundaries. Returns (mix uint64 per window, win_doc int64 per window,
+    n_windows int64 per doc). Window identity is the 64-bit mix — two
+    distinct n-grams colliding within one doc (odds ~n^2/2^64) would
+    undercount a distinct count by one; accepted and documented where
+    used."""
+    from .dedup import _hash_strings, _ranges
+
+    tok_lists = [t.split() for t in texts]
+    tok_counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    n_win = np.maximum(tok_counts - ngram + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_win
+    th = _hash_strings([w for toks in tok_lists for w in toks])
+    starts_of_doc = np.cumsum(tok_counts) - tok_counts
+    win_doc = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+    win_start = _ranges(n_win) + np.repeat(starts_of_doc, n_win)
+    a = np.uint64(0x9E3779B97F4A7C15)
+    mix = th[win_start] * a
+    for j in range(1, ngram):
+        mix = (mix + th[win_start + j]) * a
+    return mix, win_doc, n_win
+
+
+def _distinct_per_doc(mix: np.ndarray, win_doc: np.ndarray, n_docs: int) -> np.ndarray:
+    """Distinct window count per doc: one lexsort + run-boundary scan."""
+    if len(mix) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    order = np.lexsort((mix, win_doc))
+    wd, mx = win_doc[order], mix[order]
+    new = np.ones(len(wd), dtype=bool)
+    new[1:] = (wd[1:] != wd[:-1]) | (mx[1:] != mx[:-1])
+    return np.bincount(wd[new], minlength=n_docs).astype(np.int64)
+
+
+def add_repetition_stats(ds, text_col: str = "text", *, ngram: int = 3):
+    """Gopher-style within-document repetition signal: adds
+    ``rep_ngrams`` (token n-gram window count, max(0, T-n+1)) and
+    ``rep_distinct`` (distinct windows) — the duplicate-n-gram fraction
+    quality filters threshold on is (rep_ngrams - rep_distinct) /
+    rep_ngrams. Integer columns, exactly SQL-checkable (the oracle counts
+    DISTINCT space-joined n-gram strings; join-injectivity holds because
+    tokens contain no spaces)."""
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        texts = list(b[text_col])
+        mix, win_doc, n_win = _window_hashes(texts, ngram)
+        out = b.copy()
+        out["rep_ngrams"] = n_win
+        out["rep_distinct"] = _distinct_per_doc(mix, win_doc, len(texts))
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def flag_contaminated(ds, bench_shingles, *, text_col: str = "text",
+                      ngram: int = 3, min_overlap: int = 1):
+    """Benchmark-contamination flagging (the pre-training hygiene pass):
+    each document is scored by how many DISTINCT token n-grams it shares
+    with a benchmark shingle set. ``bench_shingles``: an iterable of
+    space-joined n-gram strings (the benchmark side is eval-set-sized —
+    ray.put once, hashed once per worker, NEVER shuffled; the corpus
+    streams through one map_batches). Adds ``contam_ngrams`` (distinct
+    doc windows), ``contam_overlap`` (distinct windows also in the
+    benchmark set) and ``contaminated`` (overlap >= min_overlap).
+    Same 64-bit window-identity note as add_repetition_stats."""
+    import ray
+
+    from .dedup import _hash_strings
+
+    def shingle_hash(strs: list[str]) -> np.ndarray:
+        a = np.uint64(0x9E3779B97F4A7C15)
+        out = None
+        tok_lists = [s.split() for s in strs]
+        th = _hash_strings([w for toks in tok_lists for w in toks])
+        # benchmark shingles are exactly ngram tokens wide
+        th = th.reshape(-1, ngram)
+        out = th[:, 0] * a
+        for j in range(1, ngram):
+            out = (out + th[:, j]) * a
+        return out
+
+    bench = [s for s in bench_shingles if len(s.split()) == ngram]
+    bref = ray.put(np.unique(shingle_hash(bench)) if bench
+                   else np.empty(0, np.uint64))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bh = ray.get(bref)
+        texts = list(b[text_col])
+        mix, win_doc, _ = _window_hashes(texts, ngram)
+        out = b.copy()
+        if len(mix) == 0:
+            out["contam_ngrams"] = np.zeros(len(texts), dtype=np.int64)
+            out["contam_overlap"] = np.zeros(len(texts), dtype=np.int64)
+        else:
+            # distinct windows once, then one sorted-membership test
+            order = np.lexsort((mix, win_doc))
+            wd, mx = win_doc[order], mix[order]
+            new = np.ones(len(wd), dtype=bool)
+            new[1:] = (wd[1:] != wd[:-1]) | (mx[1:] != mx[:-1])
+            wd, mx = wd[new], mx[new]
+            out["contam_ngrams"] = np.bincount(
+                wd, minlength=len(texts)).astype(np.int64)
+            hit = np.isin(mx, bh)
+            out["contam_overlap"] = np.bincount(
+                wd[hit], minlength=len(texts)).astype(np.int64)
+        out["contaminated"] = (
+            out["contam_overlap"] >= min_overlap).astype("int64")
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
                k: int = 3, num_buckets: int = 64, broadcast_df: bool = True):
     """Per-document top-k TF-IDF terms, exact-integer checkable.

@@ -60,6 +60,8 @@ SQL_BACKED = [
     "events_funnel_view_purchase", "part_name_fuzzy_pairs",
     "doc_shuffle_head", "events_weekly_retention",
     "emb_group_centroid_sums",
+    # round 4
+    "doc_line_dedup", "doc_repetition", "doc_contamination",
 ]
 
 

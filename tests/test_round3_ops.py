@@ -1524,3 +1524,63 @@ def test_hll_distinct_by_groups(rd):
     # batching invariance
     out2 = hll_distinct_by(rd.from_pandas(df).repartition(9), "k", "v", p=12)
     assert dict(zip(out2["k"], out2["est"])) == got
+
+
+# ---------------------------------------------------------------------------
+# round 4: line-level dedup / repetition / contamination
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_hand_fixture_and_fallback_path_equal(rd):
+    """Boilerplate lines (corpus df > max) are removed with order
+    preserved; the distributed (cogroup+reassemble) path agrees with the
+    broadcast path row for row."""
+    from split_ner_ray.stages.dedup import line_dedup_docs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["COOKIE\nalpha\nbeta", "COOKIE\ngamma", "COOKIE\ndelta",
+                 "COOKIE"],
+    })
+    bc = line_dedup_docs(rd.from_pandas(df), max_line_df=2).to_pandas()
+    bc = bc.sort_values("doc_id").reset_index(drop=True)
+    assert bc["text"].tolist() == ["alpha\nbeta", "gamma", "delta", ""]
+    assert bc["n_lines"].tolist() == [3, 2, 2, 1]
+    assert bc["n_kept"].tolist() == [2, 1, 1, 0]
+
+    part = line_dedup_docs(rd.from_pandas(df), max_line_df=2,
+                           dup_broadcast_limit=0).to_pandas()
+    part = part.sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "text", "n_lines", "n_kept"]
+    pd.testing.assert_frame_equal(
+        bc[cols].astype({"n_lines": "int64", "n_kept": "int64"}),
+        part[cols].astype({"n_lines": "int64", "n_kept": "int64"}))
+
+
+def test_repetition_stats_hand_fixture(rd):
+    from split_ner_ray.stages.text import add_repetition_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c a b c a b c",   # 7 windows, 3 distinct
+                 "x y z w",              # 2 windows, 2 distinct
+                 "one two"],             # too short: 0 windows
+    })
+    out = add_repetition_stats(rd.from_pandas(df), "text", ngram=3).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["rep_ngrams"].tolist() == [7, 2, 0]
+    assert out["rep_distinct"].tolist() == [3, 2, 0]
+
+
+def test_flag_contaminated_hand_fixture(rd):
+    from split_ner_ray.stages.text import flag_contaminated
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps", "totally clean document here"],
+    })
+    bench = ["quick brown fox", "unrelated benchmark shingle"]
+    out = flag_contaminated(rd.from_pandas(df), bench, ngram=3,
+                            min_overlap=1).to_pandas().sort_values("doc_id")
+    assert out["contam_overlap"].tolist() == [1, 0]
+    assert out["contaminated"].tolist() == [1, 0]
+    assert out["contam_ngrams"].tolist() == [3, 2]
