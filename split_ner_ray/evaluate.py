@@ -256,3 +256,87 @@ def multi_seed_summary(run_metrics: list[dict]) -> dict:
         "micro_f1": agg([m["micro"]["f1"] for m in run_metrics]),
         "macro_f1": agg([m["macro_f1"] for m in run_metrics]),
     }
+
+
+def span_based_view(ds, gold_col: str = "pos", pred_col: str = "dep"):
+    """convert_to_span_based (analysis_multirun.py:389-399): GOLD typed
+    tags collapse to {B,I}-ENTITY (first tag character + '-ENTITY'); the
+    prediction column is left untouched — span-detector prediction files
+    are already entity-agnostic. Used by multirun_comparison's
+    span_based mode. Arrow in/out: ragged list<string> columns don't
+    survive a pandas round-trip in Ray's block conversion."""
+    import pyarrow as pa
+
+    def conv(b: "pa.Table") -> "pa.Table":
+        tags = b.column(gold_col).to_pylist()
+        new = [[t if t == "O" else f"{t[0]}-ENTITY" for t in ts]
+               for ts in tags]
+        idx = b.schema.get_field_index(gold_col)
+        return b.set_column(idx, gold_col,
+                            pa.array(new, type=pa.list_(pa.string())))
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def multirun_comparison(experiment_dir: str, datasets: list[str],
+                        models: list[str], *,
+                        seeds=(142, 242, 342, 442), file: str = "test",
+                        span_based: bool = False):
+    """Per-dataset/per-model multi-run comparison tables — the reference's
+    analysis_multirun.py main flow (analysis_multirun.py:427-447): for
+    each (dataset, model) read
+    ``{experiment_dir}/{dataset}/{model}/run-{seed}/predictions/{file}.tsv``
+    per seed (3-column token/gold/pred TSV; the reference's fixed seed set
+    142/242/342/442 is the default), score span micro P/R/F1 per run, and
+    emit one row per experiment with the per-seed values, mean/std of F1,
+    and the reference's pipe-table row ('| id | f1 ... | mean |', values
+    in percent). Missing run files are skipped, matching parse_file's
+    empty return. ``span_based`` applies convert_to_span_based to gold
+    first (span-detector experiments).
+
+    Returns a pandas DataFrame (diagnostic-tool scale: file parsing runs
+    through the Ray TSV reader, metric reduction through
+    span_f1_dataset's distributed counts)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from .sources.tsv import read_tsv_corpus
+
+    rows = []
+    for dataset in datasets:
+        for model in models:
+            per_seed, used = [], []
+            for seed in seeds:
+                p = os.path.join(experiment_dir, dataset, model,
+                                 f"run-{seed}", "predictions", f"{file}.tsv")
+                if not os.path.exists(p):
+                    continue
+                ds = read_tsv_corpus(p)
+                if span_based:
+                    ds = span_based_view(ds)
+                m = span_f1_dataset(ds, gold_col="pos", pred_col="dep")
+                per_seed.append(m["micro"])
+                used.append(int(seed))
+            f1s = [m["f1"] for m in per_seed]
+            mean_f1 = float(np.mean(f1s)) if f1s else float("nan")
+            std_f1 = float(np.std(f1s)) if f1s else float("nan")
+            md = "| {0}/{1} | {2} | {3:.2f} |".format(
+                dataset, model,
+                " | ".join(f"{100 * v:.2f}" for v in f1s),
+                100 * mean_f1 if f1s else float("nan"),
+            )
+            rows.append({
+                "dataset": dataset,
+                "model": model,
+                "n_runs": len(per_seed),
+                "seeds": used,
+                "p_runs": [m["precision"] for m in per_seed],
+                "r_runs": [m["recall"] for m in per_seed],
+                "f1_runs": f1s,
+                "mean_f1": mean_f1,
+                "std_f1": std_f1,
+                "markdown": md,
+            })
+    return pd.DataFrame(rows)

@@ -407,3 +407,140 @@ def brute_topk_quantized(qemb_ds, qids: np.ndarray, qmat: np.ndarray,
 
     partials = qemb_ds.map_batches(local, batch_format="pyarrow")
     return _per_query_reduce(partials, k, exclude_self)
+
+
+def ann_join(left_ds, right_ds, k: int = 5, *, num_centroids: int = 64,
+             nprobe: int = 8, left_id: str = "vec_id",
+             right_id: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = False, num_buckets: int = 32):
+    """Batch ANN join: cosine top-k RIGHT neighbors for EVERY left row —
+    the 10^6-query workload (embedding-join two corpora, retrieval-augment
+    a whole training set) that brute_topk's broadcast-query design cannot
+    carry. Returns a Dataset (qid, vid, rank), rank 1-based, ties broken
+    by vid ascending — the same total order as brute_topk.
+
+    Shape: coarse centroids trained on the RIGHT corpus (hash-sampled,
+    deterministic); right rows bucket to their nearest centroid (the
+    inverted lists), left rows fan out to their ``nprobe`` nearest
+    centroids; ONE side-tagged Arrow cogroup on the bucket key co-locates
+    every list with exactly the probes that need it (vectors ride as
+    fixed_size_list<float32> buffers); per-list scoring is a chunked
+    float64 matmul with an O(n) per-row partition + boundary-tie mask +
+    one flat candidate lexsort over right rows pre-sorted by id (the
+    (row, -sim, id-ascending column) order IS the tie-safe total order —
+    no per-row loops, no full-row argsort); the final
+    per-left-id reduce is the same bucketed pass every other top-k here
+    uses (vectorized over thousands of queries per task, never per-query
+    dispatch). ``nprobe >= num_centroids`` makes the join EXACT (the
+    SQL-checked setting). Partitioning assumption: one inverted list plus
+    its probes fits a task (split hot centroids by raising num_centroids).
+    """
+    import ray
+
+    # sides is imported HERE (not inside score_bucket): from a non-repo
+    # cwd the workers deserialize score_bucket by value, and a body-level
+    # relative import would fail to resolve the package there
+    from .relational import cogroup, sides
+
+    cents = train_centroids(right_ds, num_centroids, id_col=right_id,
+                            vec_col=vec_col)
+    cref = ray.put(cents)
+    kk = k + (1 if exclude_self else 0)
+
+    def assign_right(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        raw = vec_matrix(batch.column(vec_col))
+        b = np.argmax(_normalize(raw) @ c.T, axis=1)
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int64)),
+            "id": batch.column(right_id).cast(pa.int64()),
+            "vec": fixed_list_f32(raw),
+        })
+
+    def assign_left(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        raw = vec_matrix(batch.column(vec_col))
+        sims = _normalize(raw) @ c.T
+        p = min(nprobe, sims.shape[1])
+        if p >= sims.shape[1]:
+            probes = np.tile(np.arange(sims.shape[1], dtype=np.int64),
+                             (len(raw), 1))
+        else:
+            probes = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
+        n = len(raw)
+        rep = np.repeat(np.arange(n, dtype=np.int64), probes.shape[1])
+        ids = batch.column(left_id).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(probes.reshape(-1)),
+            "id": pa.array(np.repeat(ids, probes.shape[1])),
+            "vec": fixed_list_f32(raw).take(pa.array(rep)),
+        })
+
+    rights = right_ds.map_batches(assign_right, batch_format="pyarrow")
+    lefts = left_ds.map_batches(assign_left, batch_format="pyarrow")
+
+    def score_bucket(group: pa.Table) -> pd.DataFrame:
+        lt, rt = sides(group)  # lt = rights (side 0), rt = left probes
+        frames = []
+        l_bucket = lt.column("bucket").to_numpy(zero_copy_only=False)
+        r_bucket = rt.column("bucket").to_numpy(zero_copy_only=False)
+        if len(l_bucket) == 0 or len(r_bucket) == 0:
+            return _topk_rows(np.empty((0, 0)), np.empty(0, np.int64),
+                              np.empty(0, np.int64), kk)
+        rids = lt.column("id").to_numpy(zero_copy_only=False)
+        rvec = _normalize(vec_matrix(lt.column("vec")))
+        qids_all = rt.column("id").to_numpy(zero_copy_only=False)
+        qvec = _normalize(vec_matrix(rt.column("vec")))
+        # right rows pre-sorted by (bucket, id): id-ascending column order
+        # is what makes the stable argsort below tie-safe
+        r_ord = np.lexsort((rids, l_bucket))
+        l_bucket, rids, rvec = l_bucket[r_ord], rids[r_ord], rvec[r_ord]
+        q_ord = np.argsort(r_bucket, kind="stable")
+        r_bucket, qids_all, qvec = r_bucket[q_ord], qids_all[q_ord], qvec[q_ord]
+        rb, r_starts = np.unique(l_bucket, return_index=True)
+        r_ends = np.append(r_starts[1:], len(l_bucket))
+        qb, q_starts = np.unique(r_bucket, return_index=True)
+        q_ends = np.append(q_starts[1:], len(r_bucket))
+        qpos = {int(b): (lo, hi) for b, lo, hi in zip(qb, q_starts, q_ends)}
+        for b, rlo, rhi in zip(rb, r_starts, r_ends):
+            qlohi = qpos.get(int(b))
+            if qlohi is None:
+                continue
+            qlo, qhi = qlohi
+            rid_s, rv = rids[rlo:rhi], rvec[rlo:rhi]
+            n_r = len(rid_s)
+            kk_b = min(kk, n_r)
+            # chunk left rows so the sims matrix stays ~128 MB
+            chunk = max(1, int(16_000_000 // max(n_r, 1)))
+            for clo in range(qlo, qhi, chunk):
+                chi = min(clo + chunk, qhi)
+                sims = qvec[clo:chi] @ rv.T
+                # exact top-kk without a full-row argsort (which dominated
+                # the 100k x 1M stress): O(n) partition for the per-row
+                # boundary value, a >= mask that KEEPS boundary ties, then
+                # one flat lexsort of just the candidates. Column order is
+                # rid-ascending, so (row, -sim, col) IS the tie-safe total
+                # order.
+                if kk_b < n_r:
+                    v = np.partition(sims, n_r - kk_b, axis=1)[:, n_r - kk_b]
+                    ri, ci = np.nonzero(sims >= v[:, None])
+                else:
+                    ri, ci = np.nonzero(np.ones_like(sims, dtype=bool))
+                sv = sims[ri, ci]
+                order = np.lexsort((ci, -sv, ri))
+                ri, ci, sv = ri[order], ci[order], sv[order]
+                rank_in_row = np.arange(len(ri)) - np.searchsorted(ri, ri)
+                keep = rank_in_row < kk_b
+                frames.append(pd.DataFrame({
+                    "qid": qids_all[clo + ri[keep]],
+                    "vid": rid_s[ci[keep]],
+                    "sim": sv[keep],
+                }))
+        if not frames:
+            return _topk_rows(np.empty((0, 0)), np.empty(0, np.int64),
+                              np.empty(0, np.int64), kk)
+        return pd.concat(frames, ignore_index=True)
+
+    partials = cogroup(rights, lefts, ["bucket"], score_bucket,
+                       num_buckets=num_buckets)
+    return _per_query_reduce(partials, k, exclude_self)

@@ -1584,3 +1584,80 @@ def test_flag_contaminated_hand_fixture(rd):
     assert out["contam_overlap"].tolist() == [1, 0]
     assert out["contaminated"].tolist() == [1, 0]
     assert out["contam_ngrams"].tolist() == [3, 2]
+
+
+def test_ann_join_exact_vs_brute_all_queries(rd):
+    """nprobe = num_centroids makes the batch ANN join exact: every row's
+    top-k equals brute_topk's (the broadcast-query baseline), across the
+    whole 500-row corpus as the query set."""
+    from split_ner_ray.stages.ann import ann_join, brute_topk, load_queries
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ann_join(emb, emb, k=5, num_centroids=8, nprobe=8,
+                   exclude_self=True).to_pandas()
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    qids, qmat = load_queries(emb, list(range(500)))
+    ref = brute_topk(emb, qids, qmat, k=5).to_pandas()
+    ref = ref.sort_values(["qid", "rank"]).reset_index(drop=True)
+    cols = ["qid", "vid", "rank"]
+    pd.testing.assert_frame_equal(out[cols].astype("int64"),
+                                  ref[cols].astype("int64"))
+
+
+def test_ann_join_approx_recall(rd):
+    """nprobe < num_centroids is approximate but must keep high recall on
+    clustered vectors (same bar as ivf_topk)."""
+    from split_ner_ray.stages.ann import ann_join
+
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(16, 16))
+    assign = rng.integers(0, 16, size=2000)
+    vecs = cents[assign] + rng.normal(scale=0.05, size=(2000, 16))
+    emb = pd.DataFrame({"vec_id": np.arange(2000), "embedding": list(vecs)})
+    ds = rd.from_pandas(emb)
+    exact = ann_join(ds, ds, k=3, num_centroids=16, nprobe=16,
+                     exclude_self=True).to_pandas()
+    approx = ann_join(ds, ds, k=3, num_centroids=16, nprobe=4,
+                      exclude_self=True).to_pandas()
+    e = set(map(tuple, exact[["qid", "vid"]].to_numpy()))
+    a = set(map(tuple, approx[["qid", "vid"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.95, recall
+
+
+def test_multirun_comparison_tables(rd, tmp_path):
+    """analysis_multirun.py main-flow parity: per-(dataset, model) rows
+    with per-seed micro F1, mean, markdown format; missing seeds skipped;
+    span_based collapses gold types."""
+    import os
+
+    from split_ner_ray.evaluate import multirun_comparison
+
+    def write_run(dataset, model, seed, lines):
+        d = tmp_path / dataset / model / f"run-{seed}" / "predictions"
+        os.makedirs(d, exist_ok=True)
+        (d / "test.tsv").write_text(lines)
+
+    # seed 142: perfect predictions (f1=1); seed 242: half right
+    perfect = "alpha\tB-PER\tB-PER\nbeta\tO\tO\n\ngamma\tB-LOC\tB-LOC\n\n"
+    half = "alpha\tB-PER\tB-PER\nbeta\tO\tO\n\ngamma\tB-LOC\tO\n\n"
+    write_run("bio", "qa4", 142, perfect)
+    write_run("bio", "qa4", 242, half)
+    # seeds 342/442 missing -> skipped
+
+    out = multirun_comparison(str(tmp_path), ["bio"], ["qa4"])
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_runs"] == 2 and r["seeds"] == [142, 242]
+    # the engine's prf keeps the reference's 1e-7 denominators
+    assert abs(r["f1_runs"][0] - 1.0) < 1e-6
+    assert abs(r["f1_runs"][1] - 2 / 3) < 1e-6  # p=1, r=1/2 -> f1=2/3
+    assert abs(r["mean_f1"] - (1.0 + 2 / 3) / 2) < 1e-6
+    assert r["markdown"].startswith("| bio/qa4 | 100.00 | 66.67 |")
+
+    # span_based: typed gold collapses to B-ENTITY, matching agnostic preds
+    agn = "alpha\tB-PER\tB-ENTITY\n\n"
+    write_run("bio", "span", 142, agn)
+    sb = multirun_comparison(str(tmp_path), ["bio"], ["span"],
+                             seeds=(142,), span_based=True)
+    assert abs(sb.iloc[0]["f1_runs"][0] - 1.0) < 1e-6
