@@ -2892,12 +2892,45 @@ WHERE rank <= 3 ORDER BY qid, rank
 """
 
 
+def doc_pack_sequences(sf_dir: str):
+    """GPT-style concat-then-chunk sequence packing: each doc's span in
+    the global token stream (exclusive prefix sum in doc_id order via the
+    distributed two-level range scan) and the packs it lands in."""
+    from .stages.packing import pack_sequences
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = pack_sequences(ds, seq_len=128).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok_start,
+       tok_start + n_tokens AS tok_end,
+       tok_start // 128 AS pack_first,
+       greatest(tok_start + n_tokens - 1, tok_start) // 128 AS pack_last
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "doc_line_dedup": (doc_line_dedup, LINE_DEDUP_SQL),
         "doc_repetition": (doc_repetition, REPETITION_SQL),
         "doc_contamination": (doc_contamination, CONTAMINATION_SQL),
         "ann_join_exhaustive": (ann_join_exhaustive, ANN_JOIN_SQL),
+        "doc_pack_sequences": (doc_pack_sequences, PACK_SQL),
     }
 )
 

@@ -807,3 +807,88 @@ def deterministic_shuffle(ds, key_cols: list[str], *, seed: str = "0",
     if num_blocks is not None:
         out = out.repartition(num_blocks)
     return out.drop_columns(["__shuf"])
+
+
+def global_prefix_sums(ds, key_col: str, weight_col: str, *,
+                       num_ranges: int = 256):
+    """Exclusive global prefix sum of ``weight_col`` in ``key_col`` order
+    (the zipWithIndex / global-offset primitive Ray Data lacks; weights
+    of 1 give a global row number). Keys must be unique integers.
+
+    Distributed two-level scan, NO global sort: keys are range-partitioned
+    by value (range id = key * R // (max+1) — contiguous key ranges, so
+    per-range local prefix sums compose with the tiny cross-range offsets),
+    stage 1 computes per-range partial sums inside map_batches (a
+    num_ranges-sized table reaches the driver — B rows, not corpus rows),
+    the driver prefix-sums THAT, and stage 2 cumsums each range in one
+    bucketed pass and adds its range offset. The only shuffle carries
+    (key, weight) pairs. Returns a Dataset (key_col, weight_col,
+    "offset") where offset = sum of weights over all smaller keys.
+    """
+    import ray
+
+    def key_minmax(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"mx": pd.array([], dtype="int64"),
+                                 "mn": pd.array([], dtype="int64")})
+        return pd.DataFrame({"mx": [int(b[key_col].max())],
+                             "mn": [int(b[key_col].min())]})
+
+    stats = ds.map_batches(key_minmax, batch_format="pandas").to_pandas()
+    if not len(stats):  # empty input: empty typed result
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            key_col: pd.array([], dtype="int64"),
+            weight_col: pd.array([], dtype="int64"),
+            "offset": pd.array([], dtype="int64")}))
+    lo, hi = int(stats["mn"].min()), int(stats["mx"].max())
+    span = max(hi - lo + 1, 1)
+
+    def rng_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.int64) - lo) * num_ranges // span)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        r = rng_of(b[key_col].to_numpy())
+        w = b[weight_col].to_numpy()
+        sums = np.bincount(r, weights=w, minlength=num_ranges)
+        nz = np.nonzero(sums)[0]
+        return pd.DataFrame({"r": nz.astype("int64"),
+                             "s": sums[nz].astype("int64")})
+
+    pr = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    totals = np.zeros(num_ranges, dtype=np.int64)
+    if len(pr):
+        np.add.at(totals, pr["r"].to_numpy(), pr["s"].to_numpy())
+    range_off = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(range_off)
+
+    def add_range(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rng"] = rng_of(b[key_col].to_numpy()).astype("int64")
+        return b
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        # a __rng hash bucket may hold several ranges; cumsum per range
+        g = g.sort_values([ "__rng", key_col], kind="mergesort")
+        w = g[weight_col].to_numpy().astype(np.int64)
+        cs = np.cumsum(w) - w
+        r = g["__rng"].to_numpy()
+        starts = np.zeros(len(g), dtype=bool)
+        starts[0] = True
+        starts[1:] = r[1:] != r[:-1]
+        # rebase the running cumsum at each range boundary (forward-fill
+        # the index of the segment start, then gather its cumsum)
+        seg_start = np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), -1))
+        seg_base = cs[seg_start]
+        out = pd.DataFrame({
+            key_col: g[key_col].astype("int64"),
+            weight_col: w,
+            "offset": (cs - seg_base + offs[r]).astype("int64"),
+        })
+        return out
+
+    return hash_aggregate(ds.map_batches(add_range, batch_format="pandas"),
+                          ["__rng"], per_range)

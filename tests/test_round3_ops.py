@@ -1661,3 +1661,45 @@ def test_multirun_comparison_tables(rd, tmp_path):
     sb = multirun_comparison(str(tmp_path), ["bio"], ["span"],
                              seeds=(142,), span_based=True)
     assert abs(sb.iloc[0]["f1_runs"][0] - 1.0) < 1e-6
+
+
+def test_global_prefix_sums_parallelism_invariant(rd):
+    """The two-level range scan equals a serial exclusive cumsum in key
+    order, at any partitioning; weights of 1 give a global row number."""
+    from split_ner_ray.stages.relational import global_prefix_sums
+
+    rng = np.random.default_rng(9)
+    keys = rng.permutation(5000)[:3000]  # unique, gappy, shuffled
+    w = rng.integers(0, 50, size=3000)
+    df = pd.DataFrame({"k": keys, "w": w})
+    want = df.sort_values("k").reset_index(drop=True)
+    want["offset"] = want["w"].cumsum() - want["w"]
+
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = global_prefix_sums(ds, "k", "w", num_ranges=16).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "w", "offset"]].astype("int64"),
+            want[["k", "w", "offset"]].astype("int64"))
+
+    ones = df.assign(w=1)
+    rn = global_prefix_sums(rd.from_pandas(ones), "k", "w").to_pandas()
+    rn = rn.sort_values("k").reset_index(drop=True)
+    assert rn["offset"].tolist() == list(range(3000))
+
+
+def test_pack_sequences_hand_fixture(rd):
+    from split_ner_ray.stages.packing import pack_sequences
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "", "d e f g", "h"],  # 3, 0, 4, 1 tokens
+    })
+    out = pack_sequences(rd.from_pandas(df), seq_len=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["tok_start"].tolist() == [0, 3, 3, 7]
+    assert out["tok_end"].tolist() == [3, 3, 7, 8]
+    # doc 3 spans tokens 3..6 -> packs 0..1; doc 4 token 7 -> pack 1
+    assert out["pack_first"].tolist() == [0, 0, 0, 1]
+    assert out["pack_last"].tolist() == [0, 0, 1, 1]
