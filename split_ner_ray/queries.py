@@ -2997,7 +2997,10 @@ _CHECK_WINDOW = [
     "kg_entity_cooc",
     "kg_triangles",
     "events_hll_users",
-    "events_hll_users_by_type",
+    # events_hll_users_by_type rotated out (its driver check is rows-only;
+    # pytest covers register/batching invariance) for the hash-checked
+    # doc_pack_sequences
+    "doc_pack_sequences",
     "doc_bpe_tokens",
     "events_funnel_view_purchase",
     "events_value_variance",
