@@ -148,6 +148,53 @@ def serial_simhash_pairs(
     )
 
 
+def serial_delta_pairs(doc_ids: list[int], texts: list[str], *,
+                       split_mod: int = 10, threshold: float = 0.9,
+                       bands: int = 16, cap: int = 256) -> "pa.Table":
+    """Incremental-dedup oracle, serially: docs with id % split_mod == 0
+    are the DELTA, the rest the indexed corpus. Candidates = any shared
+    band hash, capped at the first ``cap`` ascending delta ids per
+    (corpus row, band) — the exact contract of
+    stages.dedup.minhash_dups_against_index over an index built with the
+    default parameters; est = signature-component match fraction
+    (a dyadic rational, so the float compares exactly)."""
+    from collections import defaultdict
+
+    from .stages.dedup import MinHasher, _band_hashes
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    mh = MinHasher(64, 3, 7)
+    sig = mh.signature_batch(list(texts))
+    bh = _band_hashes(sig, bands)
+    is_delta = (ids % split_mod) == 0
+    new_idx = np.nonzero(is_delta)[0]
+    old_idx = np.nonzero(~is_delta)[0]
+    id_row = {int(ids[i]): i for i in range(len(ids))}
+    cands: set[tuple[int, int]] = set()
+    for b in range(bands):
+        by_hash: dict[int, list[int]] = defaultdict(list)
+        for i in new_idx:
+            by_hash[int(bh[i, b])].append(int(ids[i]))
+        for h in by_hash:
+            by_hash[h].sort()
+        for j in old_idx:
+            lst = by_hash.get(int(bh[j, b]))
+            if lst:
+                for nid in lst[:cap]:
+                    cands.add((nid, int(ids[j])))
+    rows = []
+    for nid, oid in sorted(cands):
+        est = float((sig[id_row[nid]] == sig[id_row[oid]]).mean())
+        if est >= threshold:
+            rows.append((nid, oid, est))
+    return pa.table({
+        "new_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "old_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "est": pa.array([r[2] for r in rows], type=pa.float64()),
+    })
+
+
+
 def serial_fingerprints(doc_ids: list[int], texts: list[str], *, ngram: int = 3) -> "pa.Table":
     """Order-insensitive XOR-of-shingle-hash fingerprints, per-doc serial —
     the contract of stages.text.add_fingerprint."""
@@ -237,7 +284,8 @@ def materialized_docs_path(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     # _v3: SimHash token hash moved from per-string blake2b to the shared
     # vectorized _hash_strings kernel, changing near-dup (hamming>0) pairs.
-    out = f"/tmp/graft_oracle_docs/{name}_v3"
+    # _v4: adds delta_pairs.parquet (incremental-dedup oracle).
+    out = f"/tmp/graft_oracle_docs/{name}_v4"
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
@@ -254,6 +302,9 @@ def materialized_docs_path(sf_dir: str) -> str:
     )
     pq.write_table(
         serial_fingerprints(ids, texts), os.path.join(tmp, "fingerprints.parquet")
+    )
+    pq.write_table(
+        serial_delta_pairs(ids, texts), os.path.join(tmp, "delta_pairs.parquet")
     )
     from .queries import COSINE_PAIR_THRESHOLD
 

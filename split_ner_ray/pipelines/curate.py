@@ -64,7 +64,10 @@ def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     kept = bloom_semi_join(quality, keep_ds, [id_col])
     curated = add_bpe_token_counts(add_langid(kept, text_col), text_col)
     if out_dir is not None:
-        curated.write_parquet(out_dir, partition_cols=["lang_pred"])
+        # partition-key sort first: otherwise every block splits into
+        # every language dir (blocks x langs tiny files)
+        curated.sort("lang_pred").write_parquet(
+            out_dir, partition_cols=["lang_pred"])
         # hand back the WRITTEN data: returning the lazy graph would make
         # the caller's first consumption re-run the whole pipeline
         # (second Bloom build included)
@@ -152,6 +155,7 @@ def curate_job(input_path: str, out_dir: str, *, id_col: str = "doc_id",
     kept = bloom_semi_join(quality, keep_ds, [id_col])
     curated = add_bpe_token_counts(add_langid(kept, text_col), text_col)
     shutil.rmtree(cur_dir, ignore_errors=True)  # partial output from a prior crash
+    curated = curated.sort("lang_pred")  # one file per language dir
     curated.write_parquet(cur_dir, partition_cols=["lang_pred"])
     with open(success, "w") as f:
         f.write("ok")

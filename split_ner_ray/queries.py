@@ -1535,6 +1535,7 @@ def _oracle_docs_sql(template: str) -> str:
         simhash=os.path.join(d, "simhash_pairs.parquet"),
         fps=os.path.join(d, "fingerprints.parquet"),
         cosine=os.path.join(d, "cosine_lsh_pairs.parquet"),
+        delta=os.path.join(d, "delta_pairs.parquet"),
     )
 
 
@@ -2924,6 +2925,54 @@ FROM c ORDER BY doc_id
 """
 
 
+DELTA_SPLIT_MOD = 10  # docs with doc_id % 10 == 0 play "today's crawl"
+
+
+def dedup_delta_vs_corpus(sf_dir: str):
+    """Incremental dedup: the delta slice (doc_id % 10 == 0) probed
+    against a persistent disk LSH index of the corpus slice. The index is
+    built once per sf (atomic rename commit, concurrent-caller safe) and
+    the probe reads ONLY the band/sig partitions the delta hashes into.
+    Hash-checked against the serial same-kernel oracle
+    (oracle_docs.serial_delta_pairs)."""
+    import shutil
+
+    from .stages.dedup import (minhash_dups_against_index,
+                               minhash_index_build)
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    corpus = ds.map_batches(
+        lambda b: b[b["doc_id"] % DELTA_SPLIT_MOD != 0], batch_format="pandas")
+    delta = ds.map_batches(
+        lambda b: b[b["doc_id"] % DELTA_SPLIT_MOD == 0], batch_format="pandas")
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_mh_index/{name}_v1"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        tmp = idx + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        minhash_index_build(corpus, tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        os.makedirs(os.path.dirname(idx), exist_ok=True)
+        try:
+            os.rename(tmp, idx)
+        except OSError as e:
+            import errno
+
+            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent caller won
+    df = minhash_dups_against_index(delta, idx, verify_threshold=0.9).to_pandas()
+    return df.sort_values(["new_id", "old_id"]).reset_index(drop=True)
+
+
+DEDUP_DELTA_SQL = """
+SELECT new_id, old_id, est FROM read_parquet('{delta}')
+ORDER BY new_id, old_id
+"""
+
+
 QUERIES.update(
     {
         "doc_line_dedup": (doc_line_dedup, LINE_DEDUP_SQL),
@@ -2931,6 +2980,7 @@ QUERIES.update(
         "doc_contamination": (doc_contamination, CONTAMINATION_SQL),
         "ann_join_exhaustive": (ann_join_exhaustive, ANN_JOIN_SQL),
         "doc_pack_sequences": (doc_pack_sequences, PACK_SQL),
+        "dedup_delta_vs_corpus": (dedup_delta_vs_corpus, DEDUP_DELTA_SQL),
     }
 )
 
@@ -2947,7 +2997,8 @@ def oracle_sql_catalog() -> dict[str, str]:
             out[name] = _transcripts_sql(sql)
         elif "{triples}" in sql or "{nodes}" in sql or "{mentions}" in sql:
             out[name] = _oracle_kg_sql(sql)
-        elif any(k in sql for k in ("{minhash}", "{simhash}", "{fps}", "{cosine}")):
+        elif any(k in sql for k in ("{minhash}", "{simhash}", "{fps}",
+                                    "{cosine}", "{delta}")):
             out[name] = _oracle_docs_sql(sql)
         elif any(k in sql for k in ("{intrinsic}", "{predgaps}", "{mnorms}")):
             out[name] = _oracle_kg_aux_sql(sql)
@@ -2996,11 +3047,11 @@ _CHECK_WINDOW = [
     "doc_tfidf_topk",
     "kg_entity_cooc",
     "kg_triangles",
-    "events_hll_users",
-    # events_hll_users_by_type rotated out (its driver check is rows-only;
+    # both HLL entries rotated out (their driver checks are rows-only;
     # pytest covers register/batching invariance) for the hash-checked
-    # doc_pack_sequences
+    # round-4 ops doc_pack_sequences and dedup_delta_vs_corpus
     "doc_pack_sequences",
+    "dedup_delta_vs_corpus",
     "doc_bpe_tokens",
     "events_funnel_view_purchase",
     "events_value_variance",

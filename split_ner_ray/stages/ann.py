@@ -288,9 +288,13 @@ def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
             }
         )
 
-    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    # sort by the partition key before the partitioned write — unsorted,
+    # every block splits into every bucket dir (blocks x buckets tiny
+    # files; measured 20x probe slowdown on the MinHash delta index from
+    # exactly this) and each inverted list fragments across thousands of
+    # files instead of O(1)
+    emb_ds.map_batches(assign, batch_format="pyarrow").sort(
+        "bucket").write_parquet(index_dir, partition_cols=["bucket"])
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
     if quantize:
         with open(os.path.join(index_dir, "_QUANTIZED"), "w") as f:

@@ -1028,3 +1028,230 @@ def line_dedup_docs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                              "n_kept": kept_counts})
 
     return hash_aggregate(tagged, [id_col], reassemble)
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) MinHash dedup against a persistent disk index
+# ---------------------------------------------------------------------------
+
+def minhash_index_build(docs_ds, index_dir: str, *, id_col: str = "doc_id",
+                        text_col: str = "text", num_perm: int = 64,
+                        ngram: int = 3, seed: int = 7, bands: int = 16,
+                        shards: int = 64) -> dict:
+    """Build a persistent MinHash-LSH index for INCREMENTAL dedup — the
+    'dedupe each new crawl against the existing corpus' shape, where
+    re-running pairwise dedup over corpus+delta would re-read everything.
+
+    Layout (all partition-pruned at read time):
+      sigs/id_shard=S/    (id, sig fixed_size_list<uint64>) with
+                          S = id % shards — verification gathers OLD
+                          signatures reading only the shards candidate
+                          ids fall in;
+      bands/pkey=K/       (band_hash, id) with K = band * shards +
+                          (band_hash % shards) — ONE hive partition
+                          column, so a delta batch reads the whole band
+                          index as ONE dataset with an isin partition
+                          filter over exactly the K values its own band
+                          hashes land in (pyarrow prunes unprobed
+                          partitions at the fragment level; a per-probe
+                          dataset union was measured pathological at
+                          bands x shards datasets);
+      meta.json           pins (num_perm, ngram, seed, bands, shards) so
+                          queries hash identically.
+    """
+    import json
+    import os
+
+    sigs = minhash_signatures(docs_ds, id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, ngram=ngram,
+                              seed=seed).materialize()
+
+    def add_id_shard(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "id_shard", pa.array((ids % shards).astype(np.int64)))
+
+    # sort by the partition key before the partitioned write: otherwise
+    # EVERY block splits into EVERY partition dir (blocks x shards tiny
+    # files — measured 12,800 sig / 204,800 band files at 1M docs, and
+    # the probe's read time was all file-open overhead). Sorted, each
+    # partition dir holds O(1) files.
+    sigs.map_batches(add_id_shard, batch_format="pyarrow").sort(
+        "id_shard").write_parquet(
+        os.path.join(index_dir, "sigs"), partition_cols=["id_shard"])
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        band = b.column("band").to_numpy(zero_copy_only=False)
+        h = (bh.view(np.uint64) % np.uint64(shards)).astype(np.int64)
+        return b.append_column("pkey", pa.array(band * shards + h))
+
+    minhash_band_rows(sigs, num_perm=num_perm, bands=bands).map_batches(
+        add_pkey, batch_format="pyarrow"
+    ).sort("pkey").write_parquet(os.path.join(index_dir, "bands"),
+                                 partition_cols=["pkey"])
+    meta = {"num_perm": num_perm, "ngram": ngram, "seed": seed,
+            "bands": bands, "shards": shards}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_dups_against_index(new_docs, index_dir: str, *,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               verify_threshold: float = 0.9,
+                               max_matches_per_row: int = 256):
+    """Near-dup pairs between a DELTA batch and the indexed corpus:
+    Dataset (new_id, old_id, est) with estimated Jaccard >= threshold.
+
+    Delta premise (|delta| << corpus): the delta's band rows are sorted
+    per probed partition and broadcast ONCE (delta-sized, worker-cached);
+    only the (band, bshard) index partitions the delta actually hashes
+    into are read — unprobed corpus partitions never leave storage.
+    Candidates per old row per band are capped at
+    ``max_matches_per_row`` (first ids ascending — the usual
+    duplicate-heavy-bucket recall trade, see BUCKET_PAIR_CAP).
+    Verification is the signature-estimated Jaccard computed by the
+    shard-gather join over OLD sigs read only from the id shards
+    candidates fall in, unioned with the delta's own signatures
+    (ids must be globally unique across corpus and delta)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .relational import hash_aggregate
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    shards = int(meta["shards"])
+
+    sigs_new = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col,
+        num_perm=int(meta["num_perm"]), ngram=int(meta["ngram"]),
+        seed=int(meta["seed"])).materialize()
+
+    # delta band rows -> driver (delta-sized), grouped per probed partition
+    rows_new = minhash_band_rows(
+        sigs_new, num_perm=int(meta["num_perm"]),
+        bands=int(meta["bands"])).to_pandas()
+    if not len(rows_new):
+        return rd.from_pandas(pd.DataFrame({
+            "new_id": pd.array([], dtype="int64"),
+            "old_id": pd.array([], dtype="int64"),
+            "est": pd.array([], dtype="float64")}))
+    bh = rows_new["band_hash"].to_numpy()
+    rows_new["pkey"] = (
+        rows_new["band"].to_numpy(dtype=np.int64) * shards
+        + (bh.view(np.uint64) % np.uint64(shards)).astype(np.int64))
+    probe: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for pk, sub in rows_new.groupby("pkey", sort=False):
+        s = sub.sort_values(["band_hash", "id"], kind="mergesort")
+        probe[int(pk)] = (s["band_hash"].to_numpy(dtype=np.int64),
+                          s["id"].to_numpy(dtype=np.int64))
+    probe_ref = ray.put(probe)
+
+    def match(batch: pd.DataFrame) -> pd.DataFrame:
+        pr = ray.get(probe_ref)
+        frames = []
+        # pkey re-derived from data columns (hive partition fields are
+        # not readable through Ray's filter binding in this version)
+        bhv = batch["band_hash"].to_numpy()
+        batch = batch.assign(pkey=(
+            batch["band"].to_numpy(dtype=np.int64) * shards
+            + (bhv.view(np.uint64) % np.uint64(shards)).astype(np.int64)))
+        for pk, sub in batch.groupby("pkey", sort=False):
+            hit = pr.get(int(pk))
+            if hit is None:
+                continue
+            nbh, nid = hit
+            obh = sub["band_hash"].to_numpy(dtype=np.int64)
+            oid = sub["id"].to_numpy(dtype=np.int64)
+            left = np.searchsorted(nbh, obh, side="left")
+            right = np.searchsorted(nbh, obh, side="right")
+            counts = np.minimum(right - left, max_matches_per_row)
+            if not counts.sum():
+                continue
+            pos = _ranges(counts) + np.repeat(left, counts)
+            frames.append(pd.DataFrame({
+                "src": np.repeat(oid, counts),   # old (indexed) id
+                "dst": nid[pos],                  # new (delta) id
+            }))
+        if not frames:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    # ONE dataset over exactly the probed pkey dirs (partition pruning by
+    # explicit file list — Ray's read filter can't bind hive fields here)
+    files = []
+    for pk in sorted(probe):
+        pdir = os.path.join(index_dir, "bands", f"pkey={pk}")
+        if os.path.isdir(pdir):
+            files.extend(sorted(os.path.join(pdir, f)
+                                for f in os.listdir(pdir)
+                                if f.endswith(".parquet")))
+    if not files:
+        return rd.from_pandas(pd.DataFrame({
+            "new_id": pd.array([], dtype="int64"),
+            "old_id": pd.array([], dtype="int64"),
+            "est": pd.array([], dtype="float64")}))
+    pairs = rd.read_parquet(files).map_batches(match, batch_format="pandas")
+    pairs = hash_aggregate(
+        pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"])
+    ).materialize()
+
+    # old signatures: candidate OLD ids are delta-bounded (every pair has
+    # a delta member), so collect them once, read ONLY the id shards they
+    # fall in, and filter those shards down to the candidates — the
+    # verify payload is candidate-sized, never corpus-sized
+    cand_rows = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": np.unique(
+            b["src"].to_numpy(dtype=np.int64))}),
+        batch_format="pandas").to_pandas()
+    cand_old = np.unique(cand_rows["src"].to_numpy(dtype=np.int64))         if len(cand_rows) else np.empty(0, np.int64)
+    touched = sorted(set((cand_old % shards).tolist()))
+    sig_files = []
+    for s in touched:
+        sdir = os.path.join(index_dir, "sigs", f"id_shard={s}")
+        if os.path.isdir(sdir):
+            sig_files.extend(sorted(os.path.join(sdir, f)
+                                    for f in os.listdir(sdir)
+                                    if f.endswith(".parquet")))
+    if sig_files:
+        cand_ref = ray.put(cand_old)
+
+        def keep_cands(b: pa.Table) -> pa.Table:
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            m = np.isin(ids, ray.get(cand_ref), assume_unique=False)
+            return b.select(["id", "sig"]).filter(pa.array(m))
+
+        old_sigs = rd.read_parquet(sig_files).map_batches(
+            keep_cands, batch_format="pyarrow")
+        payload = old_sigs.union(sigs_new)
+    else:
+        payload = sigs_new
+
+    state: dict = {}
+
+    def keep_fn(a: np.ndarray, b: np.ndarray):
+        est = (a == b).mean(axis=1)
+        state["est"] = est
+        return est >= verify_threshold
+
+    def extra(a, b, keep):
+        if a is None:
+            return {"est": pa.array([], pa.float64())}
+        return {"est": pa.array(state["est"][keep])}
+
+    verified = _verify_pairs_sharded(pairs, payload, "sig", keep_fn,
+                                     matrix_of=_sig_matrix,
+                                     extra_cols_fn=extra)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"new_id": b.column("dst"), "old_id": b.column("src"),
+                         "est": b.column("est")})
+
+    return verified.map_batches(rename, batch_format="pyarrow")

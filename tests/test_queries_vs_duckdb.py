@@ -89,7 +89,7 @@ ROWS_ONLY = [
 
 DOCS_SQL_BACKED = [
     "dedup_minhash_docs", "dedup_simhash_docs", "doc_fingerprints",
-    "dedup_cosine_lsh_docs",
+    "dedup_cosine_lsh_docs", "dedup_delta_vs_corpus",
 ]
 
 KG_AUX_SQL_BACKED = [
@@ -139,6 +139,7 @@ def test_docs_query_matches_materialized_oracle(catalog, con, name):
         simhash=os.path.join(d, "simhash_pairs.parquet"),
         fps=os.path.join(d, "fingerprints.parquet"),
         cosine=os.path.join(d, "cosine_lsh_pairs.parquet"),
+        delta=os.path.join(d, "delta_pairs.parquet"),
     )
     got = _norm(pd.DataFrame(fn(SF_DIR)))
     want = _norm(con.sql(resolved).df())

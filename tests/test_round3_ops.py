@@ -1703,3 +1703,47 @@ def test_pack_sequences_hand_fixture(rd):
     # doc 3 spans tokens 3..6 -> packs 0..1; doc 4 token 7 -> pack 1
     assert out["pack_first"].tolist() == [0, 0, 0, 1]
     assert out["pack_last"].tolist() == [0, 0, 1, 1]
+
+
+def test_minhash_incremental_index(rd, tmp_path):
+    """Delta-vs-corpus dedup through the disk index equals the serial
+    same-kernel reference: candidates = any shared band hash, verified by
+    the signature-estimated Jaccard."""
+    from split_ner_ray.stages.dedup import (MinHasher, _band_hashes,
+                                            minhash_dups_against_index,
+                                            minhash_index_build)
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(300)]
+    corpus_texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
+    corpus = pd.DataFrame({"doc_id": np.arange(1000, 1200),
+                           "text": corpus_texts})
+    # delta: 10 exact dups of corpus docs + 10 fresh docs
+    delta_texts = [corpus_texts[i * 17] for i in range(10)] + [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(10)]
+    delta = pd.DataFrame({"doc_id": np.arange(20), "text": delta_texts})
+
+    idx = str(tmp_path / "mh_index")
+    minhash_index_build(rd.from_pandas(corpus), idx, bands=16, shards=8)
+    got = minhash_dups_against_index(
+        rd.from_pandas(delta), idx, verify_threshold=0.9).to_pandas()
+    got_pairs = {(int(r.new_id), int(r.old_id)) for r in got.itertuples()}
+
+    # serial reference with the SAME kernels
+    mh = MinHasher(64, 3, 7)
+    sc = mh.signature_batch(corpus_texts)
+    sd = mh.signature_batch(delta_texts)
+    bc, bd = _band_hashes(sc, 16), _band_hashes(sd, 16)
+    want = set()
+    for ni in range(len(delta)):
+        for oi in range(len(corpus)):
+            if (bd[ni] == bc[oi]).any():
+                est = (sd[ni] == sc[oi]).mean()
+                if est >= 0.9:
+                    want.add((int(delta["doc_id"][ni]),
+                              int(corpus["doc_id"][oi])))
+    assert got_pairs == want
+    assert len(want) >= 10  # every exact dup found
+    # exact dups estimate 1.0
+    exact = got[got["new_id"] < 10]
+    assert (exact["est"] == 1.0).all()
