@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .vectors import fixed_list_i8, fixed_list_f32, stack_rows, vec_matrix
+from .vectors import (fixed_list_carrier, fixed_list_i8, fixed_list_f32,
+                      float_value_type, stack_rows, vec_matrix)
 
 
 def _as_matrix(rows, vec_col: str | None = None) -> np.ndarray:
@@ -183,15 +184,17 @@ def ivf_topk(emb_ds, qids: np.ndarray, qmat: np.ndarray, k: int = 5,
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        raw = vec_matrix(batch.column(vec_col))
+        col = batch.column(vec_col)
+        raw = vec_matrix(col)
         sims = _normalize(raw) @ c.T
-        # embeddings stay Arrow fixed_size_list<float32> through the bucket
-        # shuffle (source parquet is float32 — lossless), never Python lists
+        # embeddings stay Arrow fixed_size_list through the bucket shuffle
+        # (never Python lists), at the SOURCE float width — float64 inputs
+        # are not narrowed, so near-threshold scores match the oracle
         return pa.table(
             {
                 "bucket": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
                 id_col: batch.column(id_col).cast(pa.int64()),
-                vec_col: fixed_list_f32(raw),
+                vec_col: fixed_list_carrier(raw, float_value_type(col)),
             }
         )
 
@@ -277,14 +280,15 @@ def ivf_build_index(emb_ds, index_dir: str, *, num_centroids: int = 8,
                     "scale": pa.array(scale, type=pa.float64()),
                 }
             )
-        # float lists stored as fixed_size_list<float32> — the source
-        # embedding column is float32, so this is lossless and half the
-        # bytes of the list<double> layout it replaces
+        # float lists stored as fixed_size_list at the SOURCE width:
+        # float32 sources get the compact half-size layout, float64
+        # sources keep full precision on disk
         return pa.table(
             {
                 "bucket": pa.array(b.astype(np.int64)),
                 id_col: ids,
-                vec_col: fixed_list_f32(raw),
+                vec_col: fixed_list_carrier(raw, float_value_type(
+                    batch.column(vec_col))),
             }
         )
 
@@ -453,12 +457,13 @@ def ann_join(left_ds, right_ds, k: int = 5, *, num_centroids: int = 64,
 
     def assign_right(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        raw = vec_matrix(batch.column(vec_col))
+        col = batch.column(vec_col)
+        raw = vec_matrix(col)
         b = np.argmax(_normalize(raw) @ c.T, axis=1)
         return pa.table({
             "bucket": pa.array(b.astype(np.int64)),
             "id": batch.column(right_id).cast(pa.int64()),
-            "vec": fixed_list_f32(raw),
+            "vec": fixed_list_carrier(raw, float_value_type(col)),
         })
 
     def assign_left(batch: pa.Table) -> pa.Table:
@@ -474,10 +479,11 @@ def ann_join(left_ds, right_ds, k: int = 5, *, num_centroids: int = 64,
         n = len(raw)
         rep = np.repeat(np.arange(n, dtype=np.int64), probes.shape[1])
         ids = batch.column(left_id).to_numpy(zero_copy_only=False).astype(np.int64)
+        carrier = fixed_list_carrier(raw, float_value_type(batch.column(vec_col)))
         return pa.table({
             "bucket": pa.array(probes.reshape(-1)),
             "id": pa.array(np.repeat(ids, probes.shape[1])),
-            "vec": fixed_list_f32(raw).take(pa.array(rep)),
+            "vec": carrier.take(pa.array(rep)),
         })
 
     rights = right_ds.map_batches(assign_right, batch_format="pyarrow")

@@ -58,10 +58,6 @@ def _sig_lookup(ref) -> tuple[np.ndarray, np.ndarray]:
     return hit
 
 
-def _h64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-
-
 def _hash_strings(strs: list[str]) -> np.ndarray:
     """Vectorized deterministic uint64 hash of many strings in ONE C call
     (pandas' fixed-key siphash) — replaces a per-string blake2b loop that
@@ -725,7 +721,8 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
 
     from .relational import hash_aggregate
 
-    from .vectors import fixed_list_f32, stack_rows, vec_matrix
+    from .vectors import (fixed_list_carrier, float_value_type, stack_rows,
+                          vec_matrix)
 
     if not lsh:
         mat_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
@@ -773,17 +770,18 @@ def cosine_dup_pairs(emb_ds, *, id_col: str = "vec_id", vec_col: str = "embeddin
             # table id folded into the bucket key so tables never mix
             # inside one bucket group
             buckets[t] = (bits @ weights) * L + t
-        # vectors ride the bucket shuffle as Arrow fixed_size_list<float32>
-        # (lossless: the source column is float32) — the same fix that took
-        # the MinHash verify join from 157s to 17.6s; `take` repeats the
-        # row block per table without a Python copy loop
-        vec32 = fixed_list_f32(v)
+        # vectors ride the bucket shuffle as Arrow fixed_size_list at the
+        # SOURCE float width (float32 parquet stays compact, float64 input
+        # is never narrowed) — the same fix that took the MinHash verify
+        # join from 157s to 17.6s; `take` repeats the row block per table
+        # without a Python copy loop
+        carrier = fixed_list_carrier(v, float_value_type(batch.column(vec_col)))
         rep = np.tile(np.arange(n, dtype=np.int64), L)
         return pa.table(
             {
                 "bucket": pa.array(buckets.reshape(-1)),
                 "id": pa.array(np.tile(ids, L)),
-                "vec": vec32.take(pa.array(rep)),
+                "vec": carrier.take(pa.array(rep)),
             }
         )
 
@@ -886,15 +884,18 @@ def fuzzy_self_jaccard(ds, id_col: str, text_col: str, *, num: int = 1,
                                num_buckets=num_buckets,
                                max_group_items=max_token_df)
     i1, i2 = f"{id_col}_1", f"{id_col}_2"
-    if ds.count() <= broadcast_sizes_limit:
-        size_df = ds.map_batches(sizes, batch_format="pandas").to_pandas()
+    # the narrow (id, n) sizes table is materialized ONCE and its count
+    # picks the join regime — counting the raw ds would re-execute the
+    # whole upstream pipeline just to choose a path
+    sz = ds.map_batches(sizes, batch_format="pandas").materialize()
+    if sz.count() <= broadcast_sizes_limit:
+        size_df = sz.to_pandas()
         s1 = size_df.rename(columns={id_col: i1, "n": "n_1"})
         s2 = size_df.rename(columns={id_col: i2, "n": "n_2"})
         joined = broadcast_join(broadcast_join(inter, s1, [i1]), s2, [i2])
     else:
-        # corpus-scale fallback: the (id, n) size table never touches the
-        # driver — two bucketed int-key partitioned joins instead
-        sz = ds.map_batches(sizes, batch_format="pandas")
+        # corpus-scale fallback: the size table never touches the driver —
+        # two bucketed int-key partitioned joins instead
         s1d = sz.map_batches(
             lambda b: b.rename(columns={id_col: i1, "n": "n_1"}),
             batch_format="pandas")
@@ -948,7 +949,7 @@ def line_dedup_docs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     """
     import ray
 
-    from .relational import cogroup, hash_aggregate, sides
+    from .relational import cogroup, hash_aggregate, partitioned_join, sides
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         vc = b[text_col].str.split(sep, regex=False).explode().value_counts()
@@ -1027,7 +1028,16 @@ def line_dedup_docs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                              "n_lines": counts.astype(np.int64),
                              "n_kept": kept_counts})
 
-    return hash_aggregate(tagged, [id_col], reassemble)
+    out = hash_aggregate(tagged, [id_col], reassemble)
+    extra_cols = [c for c in ds.schema().names
+                  if c not in (id_col, text_col)]
+    if extra_cols:
+        # restore non-text input columns so both paths share one schema
+        # (a volume-triggered schema change would be a production trap)
+        rest = ds.map_batches(lambda b: b[[id_col] + extra_cols],
+                              batch_format="pandas")
+        out = partitioned_join(out, rest, [id_col])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1234,17 +1244,15 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
     else:
         payload = sigs_new
 
-    state: dict = {}
-
     def keep_fn(a: np.ndarray, b: np.ndarray):
-        est = (a == b).mean(axis=1)
-        state["est"] = est
-        return est >= verify_threshold
+        return (a == b).mean(axis=1) >= verify_threshold
 
     def extra(a, b, keep):
+        # est recomputed from the gathered rows (cheap) rather than
+        # threaded through shared state — no call-ordering coupling
         if a is None:
             return {"est": pa.array([], pa.float64())}
-        return {"est": pa.array(state["est"][keep])}
+        return {"est": pa.array((a == b).mean(axis=1)[keep])}
 
     verified = _verify_pairs_sharded(pairs, payload, "sig", keep_fn,
                                      matrix_of=_sig_matrix,

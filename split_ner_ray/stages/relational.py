@@ -843,10 +843,20 @@ def global_prefix_sums(ds, key_col: str, weight_col: str, *,
             weight_col: pd.array([], dtype="int64"),
             "offset": pd.array([], dtype="int64")}))
     lo, hi = int(stats["mn"].min()), int(stats["mx"].max())
-    span = max(hi - lo + 1, 1)
+    # all range arithmetic in uint64 with WRAPPING subtraction: for int64
+    # keys the true difference always fits uint64, whereas the naive
+    # (key - lo) * num_ranges overflows int64 for spans over ~2^55
+    # (hash-derived keys) and produced negative/non-monotone range ids
+    span_u = (np.uint64(hi) - np.uint64(lo)) + np.uint64(1)  # 0 == 2^64
+    if span_u == np.uint64(0):  # keys span the full 2^64 domain
+        step = np.uint64((1 << 64) // num_ranges)
+    else:
+        step = span_u // np.uint64(num_ranges) + np.uint64(1)
 
     def rng_of(keys: np.ndarray) -> np.ndarray:
-        return ((keys.astype(np.int64) - lo) * num_ranges // span)
+        diff = keys.astype(np.int64).view(np.uint64) - np.uint64(lo)
+        return np.minimum(diff // step,
+                          np.uint64(num_ranges - 1)).astype(np.int64)
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         r = rng_of(b[key_col].to_numpy())

@@ -59,7 +59,7 @@ def _whole_token_re(words: tuple[str, ...]) -> re.Pattern:
     ``words`` — the vectorized equivalent of ``w.lower() in words`` over
     ``tokens_ws``. re.A keeps IGNORECASE ASCII-only, mirroring
     ``str.lower`` on the ASCII marker/stopword sets."""
-    alt = "|".join(sorted(words, key=len, reverse=True))
+    alt = "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
     return re.compile(rf"(?<!\S)(?:{alt})(?!\S)", re.I | re.A)
 
 

@@ -50,9 +50,15 @@ def vec_matrix(col, dtype=np.float64) -> np.ndarray:
     else:
         flat = pc.list_flatten(arr)
         dim = len(flat) // n if n else 0
-        if n and len(flat) != n * dim:
-            raise ValueError(
-                f"ragged list column: {len(flat)} values across {n} rows")
+        if n:
+            # explicit per-row width check: a ragged column whose TOTAL
+            # happens to be divisible by n would otherwise mis-shape
+            # silently (e.g. rows of 3 and 1 values -> 2x2 garbage)
+            mm = pc.min_max(pc.list_value_length(arr))
+            if mm["min"].as_py() != mm["max"].as_py():
+                raise ValueError(
+                    f"ragged list column: row widths span "
+                    f"[{mm['min']}, {mm['max']}]")
     if n == 0:
         return np.empty((0, dim), dtype=dtype)
     out = flat.to_numpy(zero_copy_only=False)
@@ -66,6 +72,32 @@ def fixed_list_f32(mat: np.ndarray) -> pa.FixedSizeListArray:
         raise ValueError(f"expected (N, dim) matrix, got shape {mat.shape}")
     return pa.FixedSizeListArray.from_arrays(
         pa.array(mat.reshape(-1), type=pa.float32()), mat.shape[1]
+    )
+
+
+def float_value_type(col) -> "pa.DataType":
+    """The float value type of an embedding column: float32 for float32
+    (or smaller) sources, float64 for double sources / Ray tensor blocks
+    of float64. Decides the shuffle-carrier width so float64-sourced
+    embeddings are NEVER silently narrowed (near-threshold cosine checks
+    would flip vs an oracle computing on the source values)."""
+    t = col.type
+    if isinstance(t, pa.ExtensionType):
+        vt = getattr(t, "scalar_type", None) or getattr(t, "storage_type", t)
+        t = vt
+    while pa.types.is_list(t) or pa.types.is_fixed_size_list(t) \
+            or pa.types.is_large_list(t):
+        t = t.value_type
+    return pa.float64() if t == pa.float64() else pa.float32()
+
+
+def fixed_list_carrier(mat: np.ndarray, value_type) -> pa.FixedSizeListArray:
+    """(N, dim) ndarray -> fixed_size_list<value_type, dim> — the
+    width-preserving shuffle carrier (see float_value_type)."""
+    np_t = np.float64 if value_type == pa.float64() else np.float32
+    mat = np.ascontiguousarray(mat, dtype=np_t)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1), type=value_type), mat.shape[1]
     )
 
 

@@ -1540,6 +1540,7 @@ def test_line_dedup_hand_fixture_and_fallback_path_equal(rd):
         "doc_id": [1, 2, 3, 4],
         "text": ["COOKIE\nalpha\nbeta", "COOKIE\ngamma", "COOKIE\ndelta",
                  "COOKIE"],
+        "lang": ["en", "de", "fr", "en"],  # extra column: both paths keep it
     })
     bc = line_dedup_docs(rd.from_pandas(df), max_line_df=2).to_pandas()
     bc = bc.sort_values("doc_id").reset_index(drop=True)
@@ -1550,7 +1551,7 @@ def test_line_dedup_hand_fixture_and_fallback_path_equal(rd):
     part = line_dedup_docs(rd.from_pandas(df), max_line_df=2,
                            dup_broadcast_limit=0).to_pandas()
     part = part.sort_values("doc_id").reset_index(drop=True)
-    cols = ["doc_id", "text", "n_lines", "n_kept"]
+    cols = ["doc_id", "text", "n_lines", "n_kept", "lang"]
     pd.testing.assert_frame_equal(
         bc[cols].astype({"n_lines": "int64", "n_kept": "int64"}),
         part[cols].astype({"n_lines": "int64", "n_kept": "int64"}))
@@ -1747,3 +1748,56 @@ def test_minhash_incremental_index(rd, tmp_path):
     # exact dups estimate 1.0
     exact = got[got["new_id"] < 10]
     assert (exact["est"] == 1.0).all()
+
+
+def test_global_prefix_sums_hash_wide_keys(rd):
+    """64-bit-hash-derived keys (span > 2^55) must not overflow the range
+    arithmetic (code-review finding: (key-lo)*R wrapped int64)."""
+    from split_ner_ray.stages.relational import global_prefix_sums
+
+    rng = np.random.default_rng(12)
+    keys = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    keys = np.unique(keys)
+    w = rng.integers(0, 9, size=len(keys))
+    df = pd.DataFrame({"k": keys, "w": w})
+    want = df.sort_values("k").reset_index(drop=True)
+    want["offset"] = want["w"].cumsum() - want["w"]
+    got = global_prefix_sums(rd.from_pandas(df).repartition(5), "k", "w",
+                             num_ranges=32).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "w", "offset"]].astype("int64"),
+                                  want[["k", "w", "offset"]].astype("int64"))
+
+
+def test_vec_matrix_rejects_divisible_ragged(rd):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from split_ner_ray.stages.vectors import vec_matrix
+
+    ragged = pa.array([[1.0, 2.0, 3.0], [4.0]])
+    with _pytest.raises(ValueError, match="ragged"):
+        vec_matrix(ragged)
+
+
+def test_cosine_lsh_float64_not_narrowed(rd):
+    """A float64-sourced embedding column keeps full width through the
+    LSH bucket shuffle: a pair that is >= threshold only at float64
+    precision must survive (code-review finding: fixed_list_f32 narrowed
+    every source)."""
+    from split_ner_ray.stages.dedup import cosine_dup_pairs
+
+    base = np.zeros(8)
+    base[0] = 1.0
+    eps = 1e-9  # washes out at float32, preserved at float64
+    v2 = base.copy()
+    v2[1] = np.sqrt(2 * eps - eps * eps)  # cos(v1, v2) = 1 - eps
+    df = pd.DataFrame({"vec_id": [1, 2], "embedding": [base, v2]})
+    thr = 1.0 - 2e-9
+    out = cosine_dup_pairs(
+        rd.from_pandas(df), threshold=thr, num_planes=2, num_tables=4
+    ).to_pandas()
+    brute = cosine_dup_pairs(rd.from_pandas(df), threshold=thr,
+                             lsh=False).to_pandas()
+    assert len(brute) == 1
+    assert len(out) == 1, "float64 pair lost through the LSH carrier"
