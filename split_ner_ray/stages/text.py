@@ -18,6 +18,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.patterns import pattern_type2
+# module-level: _window_hashes runs INSIDE worker batches, and a
+# function-body relative import fails under cloudpickle by-value
+# serialization (non-repo-cwd drivers, where workers can't import the
+# package by path)
+from .dedup import _hash_strings, _ranges
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]", re.A)
@@ -184,8 +189,6 @@ def _window_hashes(texts: list[str], ngram: int):
     distinct n-grams colliding within one doc (odds ~n^2/2^64) would
     undercount a distinct count by one; accepted and documented where
     used."""
-    from .dedup import _hash_strings, _ranges
-
     tok_lists = [t.split() for t in texts]
     tok_counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     n_win = np.maximum(tok_counts - ngram + 1, 0)
@@ -246,8 +249,6 @@ def flag_contaminated(ds, bench_shingles, *, text_col: str = "text",
     benchmark set) and ``contaminated`` (overlap >= min_overlap).
     Same 64-bit window-identity note as add_repetition_stats."""
     import ray
-
-    from .dedup import _hash_strings
 
     def shingle_hash(strs: list[str]) -> np.ndarray:
         a = np.uint64(0x9E3779B97F4A7C15)
