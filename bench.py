@@ -73,20 +73,28 @@ def run_bench() -> dict:
     n_turns = rd.read_parquet(tpath).count()
     _stderr(f"transcripts ready: {tpath} ({n_turns} turns)")
 
-    # headline: full KG construction, consumed by writing outputs
-    t0 = time.time()
+    # headline: full KG construction, consumed by writing outputs.
+    # Best-of-N (default 2): this VM shows minutes-long 20-100x slow
+    # windows (not just +/-30%), and a single-shot headline was the one
+    # number with no noise protection.
+    kg_repeats = int(os.environ.get("BENCH_KG_REPEATS", "2"))
     cols = ["conv_id", "turn_idx", "text", "tool"]
     actors = max(2, num_cpus // 4)
-    triples, nodes, edges, mentions = build_graph_datasets(
-        rd.read_parquet(tpath, columns=cols),
-        concurrency=(1, actors),
-        batch_size=1024,
-    )
-    out_dir = f"/tmp/bench_out/{os.getpid()}"
-    triples.write_parquet(os.path.join(out_dir, "triples"))
-    nodes.write_parquet(os.path.join(out_dir, "nodes"))
-    kg_wall = time.time() - t0
-    _stderr(f"kg build: {kg_wall:.1f}s ({n_turns / kg_wall:.0f} turns/s)")
+    kg_wall = None
+    for rep in range(kg_repeats):
+        t0 = time.time()
+        triples, nodes, edges, mentions = build_graph_datasets(
+            rd.read_parquet(tpath, columns=cols),
+            concurrency=(1, actors),
+            batch_size=1024,
+        )
+        out_dir = f"/tmp/bench_out/{os.getpid()}_{rep}"
+        triples.write_parquet(os.path.join(out_dir, "triples"))
+        nodes.write_parquet(os.path.join(out_dir, "nodes"))
+        dt = time.time() - t0
+        if kg_wall is None or dt < kg_wall:
+            kg_wall = dt
+        _stderr(f"kg build[{rep}]: {dt:.1f}s ({n_turns / dt:.0f} turns/s)")
 
     qtimes = {}
     qnames = () if os.environ.get("BENCH_SKIP_QUERIES") else (
@@ -103,6 +111,10 @@ def run_bench() -> dict:
         "kg_triangles",
         "kg_pagerank",
         "events_weekly_retention",
+        # round 4 operator adds
+        "doc_line_dedup",
+        "ann_join_exhaustive",
+        "dedup_delta_vs_corpus",
     )
     # best-of-N per query: this VM's wall clock varies +/-30% run to run,
     # so a single measurement is noise — the minimum of N in-session
@@ -190,7 +202,10 @@ def run_scaling() -> dict:
         best = None
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                       BENCH_NCONVS=str(n_convs), BENCH_SKIP_QUERIES="1")
+                       BENCH_NCONVS=str(n_convs), BENCH_SKIP_QUERIES="1",
+                       # noise protection comes from best-of-3 fresh
+                       # processes per level; no in-process repeat needed
+                       BENCH_KG_REPEATS="1")
             r = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
                 env=env,

@@ -340,3 +340,103 @@ def multirun_comparison(experiment_dir: str, datasets: list[str],
                 "markdown": md,
             })
     return pd.DataFrame(rows)
+
+
+def oov_error_analysis(train_ds, test_ds, *, tokens_col: str = "tokens",
+                       gold_col: str = "pos", pred_col: str = "dep"):
+    """analyse_oov_errors parity (analysis_multirun.py:309-350): segment
+    the FALSE-NEGATIVE spans of a prediction run by unigram-ness and by
+    train-vocabulary membership — the diagnostic separating "model misses
+    unseen terms" from genuine modeling errors.
+
+    Per tag: n_errors (FN spans), n_unigram_errors (single-token FNs),
+    n_oov_unigram_errors (the token unseen in train), n_oov_error_terms /
+    n_in_vocab_error_terms (DISTINCT FN-span terms by membership); plus a
+    'TOTAL' row carrying the reference's two ratios (x100, float).
+
+    Distribution: the train vocabulary is vocabulary-bounded -> ONE
+    distinct-token aggregate broadcast to the scorers (never the corpus);
+    FN spans are decoded per batch and reduced as (tag, counter) integer
+    partials + a (tag, term, oov) distinct-set aggregate."""
+    import ray
+    import pandas as pd
+
+    from .stages.relational import hash_aggregate
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        toks = sorted({t for row in b.column(tokens_col).to_pylist()
+                       for t in row})
+        return pa.Table.from_pydict(
+            {"tok": toks}, schema=pa.schema([("tok", pa.string())]))
+
+    vocab_df = hash_aggregate(
+        train_ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["tok"], lambda g: g.drop_duplicates("tok")).to_pandas()
+    vref = ray.put(frozenset(vocab_df["tok"]))
+
+    def fn_rows(b: pa.Table) -> pd.DataFrame:
+        vocab = ray.get(vref)
+        tags_, uni_, oovu_, terms_, oov_ = [], [], [], [], []
+        for toks, g, p in zip(b.column(tokens_col).to_pylist(),
+                              b.column(gold_col).to_pylist(),
+                              b.column(pred_col).to_pylist()):
+            gold = decode_typed_spans(g)
+            pred = set(decode_typed_spans(p))
+            for span in gold:
+                if span in pred:
+                    continue
+                tag, s, e = span
+                span_toks = toks[s:e + 1]
+                tags_.append(tag)
+                uni_.append(int(len(span_toks) == 1))
+                oovu_.append(int(len(span_toks) == 1
+                                 and span_toks[0] not in vocab))
+                for t in span_toks:
+                    terms_.append((tag, t))
+                    oov_.append(int(t not in vocab))
+        counts = pd.DataFrame({"tag": tags_, "uni": uni_, "oovu": oovu_})
+        term_rows = pd.DataFrame({
+            "tag": [t[0] for t in terms_],
+            "term": [t[1] for t in terms_],
+            "oov": oov_,
+        })
+        cagg = counts.groupby("tag", as_index=False).agg(
+            n_errors=("tag", "size"), n_uni=("uni", "sum"),
+            n_oov_uni=("oovu", "sum")) if len(counts) else pd.DataFrame(
+            {"tag": [], "n_errors": [], "n_uni": [], "n_oov_uni": []})
+        cagg["kind"] = "c"
+        term_rows = term_rows.drop_duplicates(["tag", "term"])
+        term_rows["kind"] = "t"
+        return pd.concat([cagg, term_rows], ignore_index=True)
+
+    parts = test_ds.map_batches(fn_rows, batch_format="pyarrow")
+
+    def reduce_tag(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tag, sub in g.groupby("tag", sort=False):
+            c = sub[sub["kind"] == "c"]
+            t = sub[sub["kind"] == "t"].drop_duplicates(["tag", "term"])
+            out.append({
+                "tag": tag,
+                "n_errors": int(c["n_errors"].sum()),
+                "n_unigram_errors": int(c["n_uni"].sum()),
+                "n_oov_unigram_errors": int(c["n_oov_uni"].sum()),
+                "n_oov_error_terms": int((t["oov"] == 1).sum()),
+                "n_in_vocab_error_terms": int((t["oov"] == 0).sum()),
+            })
+        return pd.DataFrame(out)
+
+    per_tag = hash_aggregate(parts, ["tag"], reduce_tag).to_pandas()
+    per_tag = per_tag.sort_values("tag").reset_index(drop=True)
+    tot_err = int(per_tag["n_errors"].sum())
+    tot_uni = int(per_tag["n_unigram_errors"].sum())
+    tot_oov = int(per_tag["n_oov_unigram_errors"].sum())
+    total = pd.DataFrame([{
+        "tag": "TOTAL", "n_errors": tot_err, "n_unigram_errors": tot_uni,
+        "n_oov_unigram_errors": tot_oov,
+        "n_oov_error_terms": int(per_tag["n_oov_error_terms"].sum()),
+        "n_in_vocab_error_terms": int(per_tag["n_in_vocab_error_terms"].sum()),
+        "unigram_error_ratio": 100.0 * tot_uni / tot_err if tot_err else 0.0,
+        "oov_unigram_error_ratio": 100.0 * tot_oov / tot_err if tot_err else 0.0,
+    }])
+    return pd.concat([per_tag, total], ignore_index=True)

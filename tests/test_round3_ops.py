@@ -1801,3 +1801,41 @@ def test_cosine_lsh_float64_not_narrowed(rd):
                              lsh=False).to_pandas()
     assert len(brute) == 1
     assert len(out) == 1, "float64 pair lost through the LSH carrier"
+
+
+def test_oov_error_analysis(rd):
+    """analyse_oov_errors parity on a hand fixture: FN spans segmented by
+    unigram-ness and train-vocab membership, plus the TOTAL ratios."""
+    import pyarrow as pa
+
+    from split_ner_ray.evaluate import oov_error_analysis
+
+    def sent(tokens, gold, pred):
+        return {"tokens": tokens, "pos": gold, "dep": pred}
+
+    train = rd.from_items([{"tokens": ["alpha", "beta", "gamma"]}])
+    test = rd.from_items([
+        # FN 1: unigram PER over OOV token "zeta"
+        sent(["zeta", "x"], ["B-PER", "O"], ["O", "O"]),
+        # FN 2: unigram PER over in-vocab "alpha"
+        sent(["alpha"], ["B-PER"], ["O"]),
+        # FN 3: two-token LOC span, one term OOV ("omega"), one in-vocab
+        sent(["beta", "omega"], ["B-LOC", "I-LOC"], ["O", "O"]),
+        # TP: not an error
+        sent(["gamma"], ["B-PER"], ["B-PER"]),
+    ])
+    out = oov_error_analysis(train, test)
+    per = {r["tag"]: r for _, r in out.iterrows()}
+    assert per["PER"]["n_errors"] == 2
+    assert per["PER"]["n_unigram_errors"] == 2
+    assert per["PER"]["n_oov_unigram_errors"] == 1
+    assert per["PER"]["n_oov_error_terms"] == 1      # zeta
+    assert per["PER"]["n_in_vocab_error_terms"] == 1  # alpha
+    assert per["LOC"]["n_errors"] == 1
+    assert per["LOC"]["n_unigram_errors"] == 0
+    assert per["LOC"]["n_oov_error_terms"] == 1      # omega
+    assert per["LOC"]["n_in_vocab_error_terms"] == 1  # beta
+    tot = per["TOTAL"]
+    assert tot["n_errors"] == 3
+    assert abs(tot["unigram_error_ratio"] - 200.0 / 3) < 1e-9
+    assert abs(tot["oov_unigram_error_ratio"] - 100.0 / 3) < 1e-9
