@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("curate", help="run the document-curation pipeline")
     c.add_argument("--input", required=True, help="documents parquet dir/file")
     c.add_argument("--output", required=True, help="curated parquet output dir")
+    c.add_argument("--resumable", action="store_true",
+                   help="manifest-committed job (curate_job): safe to "
+                        "re-invoke after a kill; resumes from the last "
+                        "committed quality group")
+    c.add_argument("--files-per-group", type=int, default=4,
+                   help="input fragments per commit group (--resumable)")
     c.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
@@ -57,10 +63,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.cmd == "curate":
                 import ray.data as rd
 
-                from .pipelines.curate import curate_documents
+                from .pipelines.curate import curate_documents, curate_job
 
-                out = curate_documents(rd.read_parquet(args.input),
-                                       out_dir=args.output)
+                if args.resumable:
+                    out = curate_job(args.input, args.output,
+                                     files_per_group=args.files_per_group)
+                else:
+                    out = curate_documents(rd.read_parquet(args.input),
+                                           out_dir=args.output)
                 print(json.dumps({"kept_docs": out.count(),
                                   "output_dir": args.output}))
             else:

@@ -114,3 +114,23 @@ def test_cli_curate_and_compact(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-800:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["output_files"] >= 1
+
+
+def test_cli_curate_resumable(tmp_path):
+    """--resumable routes through curate_job: manifests + _SUCCESS."""
+    import json
+
+    env = dict(os.environ, RAY_GRAFT_CPUS="2")
+    out = tmp_path / "curated_resumable"
+    r = subprocess.run(
+        [sys.executable, "-m", "split_ner_ray.cli", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out), "--resumable", "--files-per-group", "1",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["kept_docs"] > 0
+    assert os.path.exists(out / "_SUCCESS")
+    assert os.path.isdir(out / "_work" / "quality" / "_manifest")

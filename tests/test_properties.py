@@ -231,3 +231,79 @@ def test_topk_matches_pandas_random_with_ties(ray_session):
     got = topk(rd.from_pandas(df).repartition(9), [("x", True), ("id", False)], 25).to_pandas()
     want = df.sort_values(["x", "id"], ascending=[False, True]).head(25).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: SimHash batch, window hashes, packing arithmetic
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+_doc = st.lists(_word, max_size=12).map(" ".join)
+
+
+@given(st.lists(_doc, max_size=15))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_matches_naive(texts):
+    """The vectorized batch kernel equals the naive per-doc majority vote
+    over the SAME token hashes, for any batch composition."""
+    from split_ner_ray.stages.dedup import _hash_strings, simhash_batch
+
+    got = simhash_batch(texts)
+    for t, g in zip(texts, got):
+        toks = t.split()
+        if not toks:
+            assert int(g) == 0
+            continue
+        th = _hash_strings(toks)
+        acc = np.zeros(64, dtype=np.int64)
+        for h in th:
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        want = 0
+        for i in range(64):
+            if acc[i] > 0:
+                want |= 1 << i
+        assert int(g) == want
+
+
+@given(st.lists(_doc, max_size=12), st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_window_hashes_counts_and_segmentation(texts, ngram):
+    """Window counts are max(0, T-n+1) per doc, win_doc segments line up,
+    and window hashes equal the naive per-doc polynomial mix."""
+    from split_ner_ray.stages.dedup import _hash_strings
+    from split_ner_ray.stages.text import _window_hashes
+
+    mix, win_doc, n_win = _window_hashes(texts, ngram)
+    a = np.uint64(0x9E3779B97F4A7C15)
+    assert len(mix) == len(win_doc) == int(n_win.sum())
+    pos = 0
+    for d, t in enumerate(texts):
+        toks = t.split()
+        expect = max(0, len(toks) - ngram + 1)
+        assert n_win[d] == expect
+        th = _hash_strings(toks) if toks else np.empty(0, np.uint64)
+        for w in range(expect):
+            m = th[w] * a
+            for j in range(1, ngram):
+                m = (m + th[w + j]) * a
+            assert mix[pos] == m and win_doc[pos] == d
+            pos += 1
+
+
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=60, deadline=None)
+def test_pack_arithmetic_covers_stream(counts, seq_len):
+    """Doc spans tile the token stream exactly; packs are contiguous."""
+    starts = np.cumsum([0] + counts[:-1])
+    ends = starts + np.array(counts)
+    last = np.maximum(ends - 1, starts)
+    pf, pl = starts // seq_len, last // seq_len
+    assert (pf <= pl).all()
+    # consecutive docs abut exactly
+    assert (ends[:-1] == starts[1:]).all()
+    # every pack index within a doc's [pack_first, pack_last] is covered
+    for s, e, a, b in zip(starts, ends, pf, pl):
+        if e > s:
+            assert a == s // seq_len and b == (e - 1) // seq_len
