@@ -583,11 +583,26 @@ def kg_nodes(sf_dir: str):
     return df.astype({"n_mentions": "int64"})
 
 
-def kg_mentions(sf_dir: str):
-    from .stages.extract import detect_and_classify, flatten_mentions
+# same memo for the mentions-only entries (kg_mentions / mention_embeddings
+# / kg_entity_cooc): one detect+classify execution per (process, sf)
+_ENGINE_MENTIONS_CACHE: dict[str, object] = {}
 
-    ds = _transcripts_ds(sf_dir)
-    m = flatten_mentions(detect_and_classify(ds, concurrency=(1, 4)))
+
+def _engine_mentions(sf_dir: str):
+    hit = _ENGINE_MENTIONS_CACHE.get(sf_dir)
+    if hit is None:
+        from .stages.extract import detect_and_classify, flatten_mentions
+
+        hit = flatten_mentions(
+            detect_and_classify(_transcripts_ds(sf_dir), concurrency=(1, 4))
+        ).materialize()
+        _ENGINE_MENTIONS_CACHE.clear()
+        _ENGINE_MENTIONS_CACHE[sf_dir] = hit
+    return hit
+
+
+def kg_mentions(sf_dir: str):
+    m = _engine_mentions(sf_dir)
     df = m.to_pandas().sort_values(["conv_id", "turn_idx", "start"]).reset_index(drop=True)
     return df.astype(
         {"turn_idx": "int64", "start": "int64", "end": "int64", "score": "float64"}
@@ -1032,10 +1047,8 @@ def mention_embeddings(sf_dir: str):
     (surface, etype, norm_mille) — hash-checked vs the materialized
     serial oracle (oracle.materialized_kg_aux_path)."""
     from .stages.embed import embed_mentions
-    from .stages.extract import detect_and_classify, flatten_mentions
 
-    ds = _transcripts_ds(sf_dir)
-    m = flatten_mentions(detect_and_classify(ds, concurrency=(1, 4)))
+    m = _engine_mentions(sf_dir)
 
     def distinct(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[["surface", "etype"]].drop_duplicates()
@@ -2188,15 +2201,12 @@ def kg_entity_cooc(sf_dir: str):
     check stays float-free). stages/graph.cooccurrence_pairs: bucketed
     per-turn self-merge partials, one aggregate on the pair key; the
     vocabulary-bounded marginals table is broadcast back."""
-    from .stages.extract import detect_and_classify, flatten_mentions
     from .stages.graph import cooccurrence_pairs, group_item_marginals
     from .stages.relational import broadcast_join, topk
 
-    # mentions feed BOTH the pair builder and the marginals: materialize
-    # once, or the expensive detect_and_classify chain executes twice
-    m = flatten_mentions(
-        detect_and_classify(_transcripts_ds(sf_dir), concurrency=(1, 4))
-    ).materialize()
+    # mentions feed BOTH the pair builder and the marginals; the memo is
+    # already materialized, so both consumers share one execution
+    m = _engine_mentions(sf_dir)
     gk, ik = ["conv_id", "turn_idx"], ["surface", "etype"]
     pairs = cooccurrence_pairs(m, gk, ik, num_buckets=32)
     marg = group_item_marginals(m, gk, ik, num_buckets=32).to_pandas()
