@@ -2992,8 +2992,40 @@ ORDER BY new_id, old_id
 """
 
 
+def events_debounced(sf_dir: str):
+    """Event debouncing (windowed dedup): per (user, event_type) keep
+    only the head of each burst, bursts chaining at <10-minute gaps —
+    the telemetry/training-event retention policy. One bucketed pass,
+    vectorized over every key (stages/windows.debounce)."""
+    from .stages.windows import debounce
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    out = debounce(ds, key_cols=["user_id", "event_type"],
+                   gap_us=600_000_000, tie_cols=["event_id"]).to_pandas()
+    out["ts_us"] = out["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    return (out[["user_id", "event_type", "ts_us", "event_id"]]
+            .astype({"user_id": "int64", "event_id": "int64", "ts_us": "int64"})
+            .sort_values(["user_id", "event_type", "ts_us", "event_id"])
+            .reset_index(drop=True))
+
+
+EVENTS_DEBOUNCE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, event_type, ts_us, event_id FROM e
+WHERE prev IS NULL OR ts_us - prev >= 600000000
+ORDER BY user_id, event_type, ts_us, event_id
+"""
+
+
 QUERIES.update(
     {
+        "events_debounced": (events_debounced, EVENTS_DEBOUNCE_SQL),
         "doc_line_dedup": (doc_line_dedup, LINE_DEDUP_SQL),
         "doc_repetition": (doc_repetition, REPETITION_SQL),
         "doc_contamination": (doc_contamination, CONTAMINATION_SQL),

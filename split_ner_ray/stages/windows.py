@@ -138,3 +138,43 @@ def running_agg(ds, *, key_col: str, order_cols: list[str], value_col: str,
         return g
 
     return hash_aggregate(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
+def debounce(ds, *, key_cols: list[str], ts_col: str = "ts",
+             gap_us: int = 3_600_000_000, tie_cols: list[str] | None = None,
+             num_buckets: int = 64):
+    """Windowed dedup / event debouncing: within each key, keep only the
+    FIRST event of each burst, where rows less than ``gap_us``
+    microseconds after their predecessor chain into the same burst —
+    exactly sessionize's session rule, kept rows = session heads. (The
+    alternative contract — drop anything within gap of the previous KEPT
+    row — is stateful-sequential and not window-SQL-expressible; the
+    burst-head rule is the one telemetry/training-event feeds usually
+    want and is mirrored exactly by a LAG filter in SQL.)
+
+    One bucketed shuffle co-locates each key's history; per bucket, ONE
+    vectorized sort + shifted-compare pass covers every key (no per-key
+    dispatch). Ties on ts break by ``tie_cols`` for determinism. Same
+    partitioning assumption as sessionize."""
+    from .relational import hash_aggregate
+
+    order = [ts_col] + (tie_cols or [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + order, kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        # new key run?
+        karr = [g[c].to_numpy() for c in key_cols]
+        newk = np.zeros(len(g), dtype=bool)
+        newk[0] = True
+        for a in karr:
+            newk[1:] |= a[1:] != a[:-1]
+        prev = np.empty(len(g), dtype=np.int64)
+        prev[0] = np.iinfo(np.int64).min // 2
+        prev[1:] = ts[:-1]
+        gap_new = newk | ((ts - prev) >= gap_us)
+        # keep burst heads: a row is kept iff it starts a session under
+        # the same gap rule sessionize uses (head of each burst)
+        return g[gap_new]
+
+    return hash_aggregate(ds, key_cols, per_bucket, num_buckets=num_buckets)

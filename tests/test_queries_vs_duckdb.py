@@ -62,7 +62,7 @@ SQL_BACKED = [
     "emb_group_centroid_sums",
     # round 4
     "doc_line_dedup", "doc_repetition", "doc_contamination",
-    "ann_join_exhaustive", "doc_pack_sequences",
+    "ann_join_exhaustive", "doc_pack_sequences", "events_debounced",
 ]
 
 

@@ -1839,3 +1839,26 @@ def test_oov_error_analysis(rd):
     assert tot["n_errors"] == 3
     assert abs(tot["unigram_error_ratio"] - 200.0 / 3) < 1e-9
     assert abs(tot["oov_unigram_error_ratio"] - 100.0 / 3) < 1e-9
+
+
+def test_debounce_burst_heads(rd):
+    from split_ner_ray.stages.windows import debounce
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00",  # head (kept)
+        "2026-01-01 00:05:00",  # <10m after prev -> same burst
+        "2026-01-01 00:09:00",  # chains on
+        "2026-01-01 00:30:00",  # new burst (21m gap)
+        "2026-01-01 02:00:00",  # new burst
+    ])
+    df = pd.DataFrame({"event_id": range(5), "ts": ts,
+                       "user_id": [1] * 5, "event_type": ["view"] * 5})
+    out = debounce(rd.from_pandas(df), key_cols=["user_id", "event_type"],
+                   gap_us=600_000_000, tie_cols=["event_id"]).to_pandas()
+    assert sorted(out["event_id"]) == [0, 3, 4]
+    # independent keys don't interact
+    df2 = pd.concat([df, df.assign(user_id=2, event_id=df["event_id"] + 10)],
+                    ignore_index=True)
+    out2 = debounce(rd.from_pandas(df2), key_cols=["user_id", "event_type"],
+                    gap_us=600_000_000, tie_cols=["event_id"]).to_pandas()
+    assert sorted(out2["event_id"]) == [0, 3, 4, 10, 13, 14]
