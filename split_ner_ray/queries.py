@@ -3018,7 +3018,7 @@ WITH e AS (
   FROM events
 )
 SELECT user_id, event_type, ts_us, event_id FROM e
-WHERE prev IS NULL OR ts_us - prev >= 600000000
+WHERE prev IS NULL OR ts_us - prev > 600000000
 ORDER BY user_id, event_type, ts_us, event_id
 """
 

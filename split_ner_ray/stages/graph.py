@@ -484,10 +484,11 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
     degrees = hash_aggregate(edges.map_batches(endpoints, batch_format="pandas"),
                              ["node"], deg_agg, num_buckets=num_buckets)
 
+    # |V|-sized and consumed up to three times (two with_deg joins +
+    # ordeg); materialize unconditionally so no regime re-runs the full
+    # edge scan per consumer
+    degrees = degrees.materialize()
     if broadcast_degrees is None:
-        # |V| decides the regime; materialize so the count and the two
-        # degree joins share one execution of the aggregate
-        degrees = degrees.materialize()
         broadcast_degrees = degrees.count() <= broadcast_degrees_limit
 
     du = degrees.to_pandas().rename(columns={"node": "u", "deg": "deg_u"}) \

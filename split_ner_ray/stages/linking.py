@@ -175,10 +175,14 @@ def _keys_frame(ets, surfs):
     return df.reset_index(drop=True)
 
 
-def build_canon_map(keys_ds):
+def build_canon_map(keys_ds, *, threshold: float | None = None,
+                    emb_threshold: float | None = None):
     """groupby(block).map_groups(dedup + pairwise sim + union-find) ->
     CANON_SCHEMA rows. One shuffle; per-block work is quadratic in distinct
-    surfaces per block (bounded by the blocking function's selectivity)."""
+    surfaces per block (bounded by the blocking function's selectivity).
+    ``threshold``/``emb_threshold`` are forwarded to rules.cluster_block so
+    this really is the drop-in distributed swap for canonicalize_linkable
+    — a tuned pipeline keeps its thresholds when it outgrows the driver."""
 
     import pandas as pd
 
@@ -188,7 +192,8 @@ def build_canon_map(keys_ds):
         frames = []
         for _blk, sub in g.groupby("block", sort=True):
             members = list(zip(sub["etype"], sub["norm"]))
-            canon = rules.cluster_block(members)  # SHARED rule core (oracle parity)
+            # SHARED rule core (oracle parity)
+            canon = rules.cluster_block(members, threshold, emb_threshold)
             ks = sorted(canon)
             frames.append(
                 pd.DataFrame(
@@ -317,74 +322,49 @@ def assign_entity_ids(raw_triples, canon_ref, *, concurrency=None):
     )
 
 
-# provenance tuple encoded into one sortable string so dedup can use a
-# hash aggregate (Min + Count) instead of a sort-based map_groups: conv_id
-# is fixed-width and turn_idx zero-padded, so lexicographic order on the
-# encoded string equals the oracle's tuple order (conv_id, turn_idx,
-# subj_surface, obj_surface). chr(31) (unit separator) never appears in
-# surfaces and sorts below all printable chars.
-_SEP = chr(31)
-
-
-def _encode_prov(conv_id: str, turn_idx: int, subj: str, obj: str) -> str:
-    return f"{conv_id}{_SEP}{turn_idx:010d}{_SEP}{subj}{_SEP}{obj}"
-
-
 def dedup_triples(ds_with_ids):
-    """groupby(subj_id, pred, obj_id) -> first provenance (min tuple) +
-    support count (SHUFFLE 4, op D5) via a single Min/Count aggregate over
-    vector-encoded provenance strings (no sort-based map_groups, no
-    per-batch combiner — at ~5 occurrences per distinct triple the combiner
-    cost more than the shuffle it saved). Deterministic across block
-    orderings because min/count are order-insensitive."""
+    """groupby(subj_id, pred, obj_id) -> first provenance (min tuple of
+    (conv_id, turn_idx, subj_surface, obj_surface)) + support count
+    (SHUFFLE 4, op D5): ONE bucketed exchange, per bucket a vectorized
+    mergesort on the tuple columns + drop_duplicates + size merge — the
+    tuple order is computed DIRECTLY on the columns. (An earlier version
+    string-encoded the tuple with a chr(31) separator and took the string
+    min; that ordering silently diverges from tuple order — and the
+    decode crashes — the moment a scorer emits a surface containing a
+    control character, which the rules backend never does but an
+    arbitrary model backend can.) Deterministic across block orderings
+    because min/count are order-insensitive."""
     from ..schemas import TRIPLES
-
-    def encode(batch: pd.DataFrame) -> pd.DataFrame:
-        import pandas as pd
-
-        enc = (
-            batch["conv_id"]
-            .str.cat(batch["turn_idx"].astype(str).str.zfill(10), sep=_SEP)
-            .str.cat(batch["subj_surface"], sep=_SEP)
-            .str.cat(batch["obj_surface"], sep=_SEP)
-        )
-        return pd.DataFrame(
-            {
-                "subj_id": batch["subj_id"],
-                "pred": batch["pred"],
-                "obj_id": batch["obj_id"],
-                "prov": enc,
-            }
-        )
-
     from .relational import hash_aggregate
 
-    encoded = ds_with_ids.map_batches(encode, batch_format="pandas", batch_size=16384)
+    keys = ["subj_id", "pred", "obj_id"]
+    prov = ["conv_id", "turn_idx", "subj_surface", "obj_surface"]
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[keys + prov]
+
+    slim = ds_with_ids.map_batches(project, batch_format="pandas",
+                                   batch_size=16384)
 
     def agg_fn(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
-            prov=("prov", "min"), support=("prov", "size")
-        )
+        counts = g.groupby(keys, as_index=False).size()
+        first = g.sort_values(keys + prov, kind="mergesort").drop_duplicates(
+            keys)
+        out = first.merge(counts, on=keys)
+        return out.rename(columns={"size": "support"})
 
-    agg = hash_aggregate(encoded, ["subj_id", "pred", "obj_id"], agg_fn)
+    agg = hash_aggregate(slim, keys, agg_fn)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        convs, turns, ssurfs, osurfs = [], [], [], []
-        for enc in batch.column("prov").to_pylist():
-            conv, turn, ssurf, osurf = enc.split(_SEP)
-            convs.append(conv)
-            turns.append(int(turn))
-            ssurfs.append(ssurf)
-            osurfs.append(osurf)
         return pa.Table.from_pydict(
             {
                 "subj_id": batch.column("subj_id"),
                 "pred": batch.column("pred"),
                 "obj_id": batch.column("obj_id"),
-                "conv_id": convs,
-                "turn_idx": turns,
-                "subj_surface": ssurfs,
-                "obj_surface": osurfs,
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+                "subj_surface": batch.column("subj_surface"),
+                "obj_surface": batch.column("obj_surface"),
                 "support": pc.cast(batch.column("support"), pa.int64()),
             },
             schema=TRIPLES,

@@ -675,7 +675,14 @@ _BLOOM_KEY2 = "bloomfilterkey02"
 def _bloom_hashes(batch: pd.DataFrame, keys: list[str]):
     norm = _normalize_keys(batch[keys])
     h1 = pd.util.hash_pandas_object(norm, index=False, hash_key=_BLOOM_KEY1).to_numpy()
-    h2 = pd.util.hash_pandas_object(norm, index=False, hash_key=_BLOOM_KEY2).to_numpy()
+    # second stream: splitmix64 finalizer of h1. pandas' hash_key only
+    # perturbs OBJECT/string hashing, so two hash_key calls return the
+    # SAME values for numeric key columns (verified) and double hashing
+    # would silently degenerate to one probe sequence
+    h2 = h1 + np.uint64(0x9E3779B97F4A7C15)
+    h2 = (h2 ^ (h2 >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h2 = (h2 ^ (h2 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = h2 ^ (h2 >> np.uint64(31))
     # odd stride so the probe sequence cycles through all table slots
     return h1, (h2 | np.uint64(1))
 
@@ -847,14 +854,17 @@ def global_prefix_sums(ds, key_col: str, weight_col: str, *,
     # keys the true difference always fits uint64, whereas the naive
     # (key - lo) * num_ranges overflows int64 for spans over ~2^55
     # (hash-derived keys) and produced negative/non-monotone range ids
-    span_u = (np.uint64(hi) - np.uint64(lo)) + np.uint64(1)  # 0 == 2^64
+    # scalar negative-int -> uint64 construction is deprecated (error under
+    # numpy>=2); wrap through an int64 array view instead
+    lo_u, hi_u = np.array([lo, hi], dtype=np.int64).view(np.uint64)
+    span_u = (hi_u - lo_u) + np.uint64(1)  # 0 == 2^64
     if span_u == np.uint64(0):  # keys span the full 2^64 domain
         step = np.uint64((1 << 64) // num_ranges)
     else:
         step = span_u // np.uint64(num_ranges) + np.uint64(1)
 
     def rng_of(keys: np.ndarray) -> np.ndarray:
-        diff = keys.astype(np.int64).view(np.uint64) - np.uint64(lo)
+        diff = keys.astype(np.int64).view(np.uint64) - lo_u
         return np.minimum(diff // step,
                           np.uint64(num_ranges - 1)).astype(np.int64)
 

@@ -221,6 +221,30 @@ def approx_quantiles_by(ds, col: str, by: str, qs: list[float],
     return out.sort_values(["by", "q_mille"]).reset_index(drop=True)
 
 
+def _hll_registers(h: np.ndarray, p: int, m: int) -> np.ndarray:
+    """uint64 hashes -> one 2^p-byte HLL register array: register index =
+    top p bits, rho = 1 + leading zeros of the remaining bits (a planted
+    stop bit bounds rho <= 64-p+1). Shared by the global and grouped
+    sketches so the estimator semantics cannot drift."""
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    rho = np.zeros(len(h), dtype=np.uint8)
+    probe = np.uint64(1) << np.uint64(63)
+    alive = np.ones(len(h), dtype=bool)
+    r = 1
+    while alive.any() and r <= 64 - p + 1:
+        hit = alive & ((rest & probe) != 0)
+        rho[hit] = r
+        alive &= ~hit
+        probe >>= np.uint64(1)
+        r += 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
 def hll_partials(ds, col: str, *, p: int = 12):
     """Per-batch HyperLogLog register partial: m = 2^p uint8 registers,
     register j = max over the batch's hashes landing in j of
@@ -230,23 +254,7 @@ def hll_partials(ds, col: str, *, p: int = 12):
 
     def partial(batch: pa.Table) -> pa.Table:
         h = _hash_col(batch.column(col).to_pylist())
-        regs = np.zeros(m, dtype=np.uint8)
-        if len(h):
-            idx = (h >> np.uint64(64 - p)).astype(np.int64)
-            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-            # rho = 1 + count of leading zeros in the top 64-p bits;
-            # the OR above plants a stop bit so rho <= 64-p+1
-            rho = np.zeros(len(h), dtype=np.uint8)
-            probe = np.uint64(1) << np.uint64(63)
-            alive = np.ones(len(h), dtype=bool)
-            r = 1
-            while alive.any() and r <= 64 - p + 1:
-                hit = alive & ((rest & probe) != 0)
-                rho[hit] = r
-                alive &= ~hit
-                probe >>= np.uint64(1)
-                r += 1
-            np.maximum.at(regs, idx, rho)
+        regs = _hll_registers(h, p, m)
         return pa.table({"hll": pa.array([regs], type=pa.list_(pa.uint8()))})
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -301,21 +309,7 @@ def hll_distinct_by(ds, key_col: str, col: str, *, p: int = 12,
         })
         rows = {"k": [], "regs": []}
         for k, grp in df.groupby("k", sort=False):
-            h = _hash_col(grp["v"].to_numpy())
-            regs = np.zeros(m, dtype=np.uint8)
-            idx = (h >> np.uint64(64 - p)).astype(np.int64)
-            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-            rho = np.zeros(len(h), dtype=np.uint8)
-            probe = np.uint64(1) << np.uint64(63)
-            alive = np.ones(len(h), dtype=bool)
-            r = 1
-            while alive.any() and r <= 64 - p + 1:
-                hit = alive & ((rest & probe) != 0)
-                rho[hit] = r
-                alive &= ~hit
-                probe >>= np.uint64(1)
-                r += 1
-            np.maximum.at(regs, idx, rho)
+            regs = _hll_registers(_hash_col(grp["v"].to_numpy()), p, m)
             rows["k"].append(k)
             rows["regs"].append(regs.tobytes())
         return pd.DataFrame(rows)

@@ -144,7 +144,7 @@ def debounce(ds, *, key_cols: list[str], ts_col: str = "ts",
              gap_us: int = 3_600_000_000, tie_cols: list[str] | None = None,
              num_buckets: int = 64):
     """Windowed dedup / event debouncing: within each key, keep only the
-    FIRST event of each burst, where rows less than ``gap_us``
+    FIRST event of each burst, where rows at most ``gap_us``
     microseconds after their predecessor chain into the same burst —
     exactly sessionize's session rule, kept rows = session heads. (The
     alternative contract — drop anything within gap of the previous KEPT
@@ -172,7 +172,10 @@ def debounce(ds, *, key_cols: list[str], ts_col: str = "ts",
         prev = np.empty(len(g), dtype=np.int64)
         prev[0] = np.iinfo(np.int64).min // 2
         prev[1:] = ts[:-1]
-        gap_new = newk | ((ts - prev) >= gap_us)
+        # break at STRICTLY greater than gap — the same boundary rule as
+        # sessionize (equal-gap events chain), so session counts and
+        # burst-head counts agree on boundary data
+        gap_new = newk | ((ts - prev) > gap_us)
         # keep burst heads: a row is kept iff it starts a session under
         # the same gap rule sessionize uses (head of each burst)
         return g[gap_new]

@@ -125,22 +125,36 @@ def test_containment_bounds(a, b):
     assert containment_sim(ga, ga) == (1.0 if ga else 0.0)
 
 
-@given(
-    st.text(alphabet=st.sampled_from("abcdefgh "), min_size=6, max_size=20),
-    st.text(alphabet=st.sampled_from("abcdefgh "), min_size=6, max_size=20),
-)
-@settings(max_examples=150, deadline=None)
-def test_cosine_dominated_by_containment_on_real_surfaces(a, b):
-    """For non-degenerate surfaces, embedding cosine ~<= containment plus
-    sign-hash noise — the documented reason EMB_SIM_THRESHOLD sits below
-    the containment threshold (tiny n-gram sets can exceed the bound
-    through bucket collisions, hence the min_size guard)."""
+def test_cosine_dominated_by_containment_on_real_surfaces():
+    """Embedding cosine tracks containment up to sign-hash noise — the
+    documented reason EMB_SIM_THRESHOLD sits below the containment
+    threshold. The relationship is STATISTICAL, not universal (hypothesis
+    found adversarial 3-n-gram pairs whose collision cosine reaches
+    1/sqrt(3) at containment 0), so this asserts the noise DISTRIBUTION
+    over a fixed-seed sample instead of a per-pair bound."""
+    import random
+
     from split_ner_ray.rules import char_ngrams, containment_sim
     from split_ner_ray.stages.embed import embed_surface
 
-    c = containment_sim(char_ngrams(a.lower()), char_ngrams(b.lower()))
-    cos = float(embed_surface(a) @ embed_surface(b))
-    assert cos <= c + 0.5
+    rng = random.Random(7)
+    alphabet = "abcdefgh "
+    gaps = []
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 20)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 20)))
+        ga, gb = char_ngrams(a.lower()), char_ngrams(b.lower())
+        if min(len(ga), len(gb)) < 4:
+            continue
+        c = containment_sim(ga, gb)
+        cos = float(embed_surface(a) @ embed_surface(b))
+        gaps.append(cos - c)
+    gaps.sort()
+    assert len(gaps) > 200
+    # 95th percentile of the sign-hash noise stays inside the margin the
+    # linker's threshold ordering relies on
+    assert gaps[int(0.95 * len(gaps))] <= 0.5
+    assert max(gaps) <= 0.9
 
 
 @given(st.lists(st.tuples(st.sampled_from(["person", "org", "id"]), _surface), max_size=12))
