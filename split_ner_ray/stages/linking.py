@@ -347,11 +347,18 @@ def dedup_triples(ds_with_ids):
                                    batch_size=16384)
 
     def agg_fn(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g.groupby(keys, as_index=False).size()
-        first = g.sort_values(keys + prov, kind="mergesort").drop_duplicates(
-            keys)
-        out = first.merge(counts, on=keys)
-        return out.rename(columns={"size": "support"})
+        import numpy as np
+
+        g = g.sort_values(keys + prov, kind="mergesort")
+        new = np.zeros(len(g), dtype=bool)
+        new[0] = True
+        for c in keys:
+            a = g[c].to_numpy()
+            new[1:] |= a[1:] != a[:-1]
+        idx = np.nonzero(new)[0]
+        out = g.iloc[idx].copy()
+        out["support"] = np.diff(np.append(idx, len(g)))
+        return out
 
     agg = hash_aggregate(slim, keys, agg_fn)
 
