@@ -228,17 +228,7 @@ class IdAssigner:
     """
 
     def __init__(self, canon_ref):
-        import ray
-
-        canon: pa.Table = ray.get(canon_ref)
-        self.eid = {
-            (et, norm): eid
-            for et, norm, eid in zip(
-                canon.column("etype").to_pylist(),
-                canon.column("norm").to_pylist(),
-                canon.column("entity_id").to_pylist(),
-            )
-        }
+        self.eid = _canon_map(canon_ref, ("entity_id",))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # vectorized: surfaces repeat heavily — normalize only the DISTINCT
@@ -279,33 +269,39 @@ class IdAssigner:
 # object ref resolves + builds its dict ONCE per worker process, so the
 # stage can run as an elastic task pool (scales with CPUs) instead of a
 # fixed-size actor pool.
-_EID_CACHE: dict[str, dict] = {}
+_CANON_CACHE: dict[tuple, dict] = {}
+
+
+def _canon_map(canon_ref, columns: tuple[str, ...]) -> dict:
+    """Per-worker-process cached dict view of the broadcast canon table:
+    (etype, norm) -> the requested column value (or tuple of values).
+    Built once per worker (~1s at 400k keys), then per-batch distinct
+    lookups are ~ms. (A per-batch pandas merge against the canon frame
+    re-hashes the large side every call — measured 10x slower.) The
+    Ray-idiomatic per-process memo, cf. the reference's tokenizer cache
+    dataset_qa.py:40; ONE implementation for the id map, the
+    (id, canonical) map, and IdAssigner so the cache policies cannot
+    drift (review r4)."""
+    import ray
+
+    key = (canon_ref.hex(), columns)
+    m = _CANON_CACHE.get(key)
+    if m is None:
+        canon: pa.Table = ray.get(canon_ref)
+        ks = zip(canon.column("etype").to_pylist(),
+                 canon.column("norm").to_pylist())
+        vals = [canon.column(c).to_pylist() for c in columns]
+        if len(columns) == 1:
+            m = dict(zip(ks, vals[0]))
+        else:
+            m = dict(zip(ks, zip(*vals)))
+        _CANON_CACHE.clear()  # one canon map per job
+        _CANON_CACHE[key] = m
+    return m
 
 
 def _eid_map(canon_ref) -> dict:
-    """Per-worker-process cached (etype, norm) -> entity_id dict from the
-    broadcast canon map: built once per worker (~1s at 400k keys), then
-    per-batch distinct lookups are ~ms. (A per-batch pandas merge against
-    the canon frame re-hashes the large side every call — measured 10x
-    slower.) The Ray-idiomatic per-process memo, cf. the reference's
-    tokenizer cache dataset_qa.py:40."""
-    import ray
-
-    key = canon_ref.hex()
-    m = _EID_CACHE.get(key)
-    if m is None:
-        canon: pa.Table = ray.get(canon_ref)
-        m = {
-            (et, norm): eid
-            for et, norm, eid in zip(
-                canon.column("etype").to_pylist(),
-                canon.column("norm").to_pylist(),
-                canon.column("entity_id").to_pylist(),
-            )
-        }
-        _EID_CACHE.clear()  # one canon map per job
-        _EID_CACHE[key] = m
-    return m
+    return _canon_map(canon_ref, ("entity_id",))
 
 
 def assign_entity_ids(raw_triples, canon_ref, *, concurrency=None):
@@ -381,29 +377,8 @@ def dedup_triples(ds_with_ids):
 
 
 # per-worker cache of the (etype, norm) -> (entity_id, canonical_norm) dict
-# (same per-process memo pattern as _EID_CACHE; one canon map per job)
-_INFO_CACHE: dict[str, dict] = {}
-
-
 def _info_map(canon_ref) -> dict:
-    import ray
-
-    key = canon_ref.hex()
-    m = _INFO_CACHE.get(key)
-    if m is None:
-        canon: pa.Table = ray.get(canon_ref)
-        m = {
-            (et, norm): (eid, cn)
-            for et, norm, cn, eid in zip(
-                canon.column("etype").to_pylist(),
-                canon.column("norm").to_pylist(),
-                canon.column("canonical_norm").to_pylist(),
-                canon.column("entity_id").to_pylist(),
-            )
-        }
-        _INFO_CACHE.clear()
-        _INFO_CACHE[key] = m
-    return m
+    return _canon_map(canon_ref, ("entity_id", "canonical_norm"))
 
 
 def build_nodes_from_occ(occ_ds, canon_ref):
