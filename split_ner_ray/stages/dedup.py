@@ -1107,11 +1107,15 @@ def minhash_index_build(docs_ds, index_dir: str, *, id_col: str = "doc_id",
     return meta
 
 
+DELTA_BROADCAST_LIMIT = 5_000_000
+
+
 def minhash_dups_against_index(new_docs, index_dir: str, *,
                                id_col: str = "doc_id",
                                text_col: str = "text",
                                verify_threshold: float = 0.9,
-                               max_matches_per_row: int = 256):
+                               max_matches_per_row: int = 256,
+                               delta_broadcast_limit: int = DELTA_BROADCAST_LIMIT):
     """Near-dup pairs between a DELTA batch and the indexed corpus:
     Dataset (new_id, old_id, est) with estimated Jaccard >= threshold.
 
@@ -1125,7 +1129,17 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
     Verification is the signature-estimated Jaccard computed by the
     shard-gather join over OLD sigs read only from the id shards
     candidates fall in, unioned with the delta's own signatures
-    (ids must be globally unique across corpus and delta)."""
+    (ids must be globally unique across corpus and delta).
+
+    Above ``delta_broadcast_limit`` band rows the delta is no longer
+    driver-sized: candidate generation switches to ONE side-tagged
+    cogroup of the (whole) index band table against the delta band rows
+    on (band, band_hash) — per bucket the new side is pre-capped to the
+    ``max_matches_per_row`` smallest ids per hash (every old row in a
+    hash shares the same candidate list, so this is the identical cap) —
+    and verification reads all signature shards into the shard-gather
+    payload instead of driver-collecting candidate ids. Both paths are
+    result-identical (tested either side of the threshold)."""
     import json
     import os
 
@@ -1143,15 +1157,24 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
         num_perm=int(meta["num_perm"]), ngram=int(meta["ngram"]),
         seed=int(meta["seed"])).materialize()
 
-    # delta band rows -> driver (delta-sized), grouped per probed partition
-    rows_new = minhash_band_rows(
+    empty = pd.DataFrame({
+        "new_id": pd.array([], dtype="int64"),
+        "old_id": pd.array([], dtype="int64"),
+        "est": pd.array([], dtype="float64")})
+
+    rows_new_ds = minhash_band_rows(
         sigs_new, num_perm=int(meta["num_perm"]),
-        bands=int(meta["bands"])).to_pandas()
-    if not len(rows_new):
-        return rd.from_pandas(pd.DataFrame({
-            "new_id": pd.array([], dtype="int64"),
-            "old_id": pd.array([], dtype="int64"),
-            "est": pd.array([], dtype="float64")}))
+        bands=int(meta["bands"])).materialize()
+    n_delta_rows = rows_new_ds.count()
+    if n_delta_rows == 0:
+        return rd.from_pandas(empty)
+    if n_delta_rows > delta_broadcast_limit:
+        return _delta_pairs_distributed(
+            rows_new_ds, sigs_new, index_dir, shards,
+            verify_threshold=verify_threshold,
+            max_matches_per_row=max_matches_per_row)
+    # delta band rows -> driver (delta-sized), grouped per probed partition
+    rows_new = rows_new_ds.to_pandas()
     bh = rows_new["band_hash"].to_numpy()
     rows_new["pkey"] = (
         rows_new["band"].to_numpy(dtype=np.int64) * shards
@@ -1250,6 +1273,81 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
     def extra(a, b, keep):
         # est recomputed from the gathered rows (cheap) rather than
         # threaded through shared state — no call-ordering coupling
+        if a is None:
+            return {"est": pa.array([], pa.float64())}
+        return {"est": pa.array((a == b).mean(axis=1)[keep])}
+
+    verified = _verify_pairs_sharded(pairs, payload, "sig", keep_fn,
+                                     matrix_of=_sig_matrix,
+                                     extra_cols_fn=extra)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"new_id": b.column("dst"), "old_id": b.column("src"),
+                         "est": b.column("est")})
+
+    return verified.map_batches(rename, batch_format="pyarrow")
+
+
+def _delta_pairs_distributed(rows_new_ds, sigs_new, index_dir: str,
+                             shards: int, *, verify_threshold: float,
+                             max_matches_per_row: int):
+    """Large-delta path of minhash_dups_against_index: nothing
+    driver-sized. ONE side-tagged cogroup on (band, band_hash) pairs the
+    index band table with the delta band rows (new side pre-capped per
+    hash — identical semantics to the per-old-row cap, since every old
+    row of a hash shares the same ascending candidate list); the verify
+    payload is the full signature table + delta signatures through the
+    shard-gather join."""
+    import os
+
+    import ray.data as rd
+
+    from .relational import cogroup, hash_aggregate, sides
+
+    band_files = []
+    bdir = os.path.join(index_dir, "bands")
+    for pk in sorted(os.listdir(bdir)):
+        p = os.path.join(bdir, pk)
+        if os.path.isdir(p):
+            band_files.extend(sorted(os.path.join(p, f)
+                                     for f in os.listdir(p)
+                                     if f.endswith(".parquet")))
+    old_rows = rd.read_parquet(band_files)
+
+    def pair_bucket(group) -> pd.DataFrame:
+        lt, rt = sides(group)  # left = index rows, right = delta rows
+        old = lt.select(["band", "band_hash", "id"]).to_pandas()
+        new = rt.select(["band", "band_hash", "id"]).to_pandas()
+        if old.empty or new.empty:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64")})
+        new = new.sort_values(["band", "band_hash", "id"], kind="mergesort")
+        new = new.groupby(["band", "band_hash"], sort=False).head(
+            max_matches_per_row)
+        m = old.merge(new, on=["band", "band_hash"], suffixes=("_o", "_n"))
+        return pd.DataFrame({"src": m["id_o"].astype("int64"),
+                             "dst": m["id_n"].astype("int64")})
+
+    pairs = cogroup(old_rows, rows_new_ds, ["band", "band_hash"], pair_bucket)
+    pairs = hash_aggregate(
+        pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))
+
+    sig_files = []
+    sdir = os.path.join(index_dir, "sigs")
+    for sh in sorted(os.listdir(sdir)):
+        p = os.path.join(sdir, sh)
+        if os.path.isdir(p):
+            sig_files.extend(sorted(os.path.join(p, f)
+                                    for f in os.listdir(p)
+                                    if f.endswith(".parquet")))
+    old_sigs = rd.read_parquet(sig_files).map_batches(
+        lambda b: b.select(["id", "sig"]), batch_format="pyarrow")
+    payload = old_sigs.union(sigs_new)
+
+    def keep_fn(a: np.ndarray, b: np.ndarray):
+        return (a == b).mean(axis=1) >= verify_threshold
+
+    def extra(a, b, keep):
         if a is None:
             return {"est": pa.array([], pa.float64())}
         return {"est": pa.array((a == b).mean(axis=1)[keep])}

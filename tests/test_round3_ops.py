@@ -1862,3 +1862,34 @@ def test_debounce_burst_heads(rd):
     out2 = debounce(rd.from_pandas(df2), key_cols=["user_id", "event_type"],
                     gap_us=600_000_000, tie_cols=["event_id"]).to_pandas()
     assert sorted(out2["event_id"]) == [0, 3, 4, 10, 13, 14]
+
+
+def test_minhash_delta_distributed_path_equal(rd, tmp_path):
+    """delta_broadcast_limit=0 forces the cogroup large-delta path; the
+    result must equal the broadcast path pair for pair."""
+    from split_ner_ray.stages.dedup import (minhash_dups_against_index,
+                                            minhash_index_build)
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i}" for i in range(200)]
+    corpus_texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(150)]
+    corpus = pd.DataFrame({"doc_id": np.arange(1000, 1150),
+                           "text": corpus_texts})
+    delta_texts = [corpus_texts[i * 11] for i in range(8)] + [
+        " ".join(rng.choice(vocab, size=25)) for _ in range(8)]
+    delta = pd.DataFrame({"doc_id": np.arange(16), "text": delta_texts})
+
+    idx = str(tmp_path / "mh_idx2")
+    minhash_index_build(rd.from_pandas(corpus), idx, bands=16, shards=4)
+
+    def run(**kw):
+        out = minhash_dups_against_index(
+            rd.from_pandas(delta), idx, verify_threshold=0.9, **kw
+        ).to_pandas()
+        return out.sort_values(["new_id", "old_id"]).reset_index(drop=True)
+
+    bc = run()
+    dist = run(delta_broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        bc[["new_id", "old_id", "est"]], dist[["new_id", "old_id", "est"]])
+    assert len(bc) >= 8
