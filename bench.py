@@ -30,6 +30,93 @@ def _stderr(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Quiet-window gating.
+#
+# This VM has minutes-long contention windows that run everything 1.5-100x
+# slow (documented in BASELINE.md: a warm fma over 10M floats measures
+# ~0.03 s quiet vs 0.57 s contended; BENCH_r04 showed a uniform ~2.4x
+# slowdown on code paths untouched that round). Load average can't be the
+# in-bench gate — our own Ray workers inflate it with a 1-minute decay —
+# but the fma probe measures the memory bus *right now*, so every timed
+# attempt below is gated on it: wait (bounded) for a quiet probe before
+# starting, and if the post-attempt probe says the window turned noisy
+# mid-attempt, spend one extra repeat. A shared wait budget bounds the
+# total added wall time.
+# ---------------------------------------------------------------------------
+
+_PROBE_THRESH = float(os.environ.get("BENCH_PROBE_THRESH", "0.07"))
+_PROBE_ARRAYS = None
+
+
+def _fma_probe() -> float:
+    """Seconds for one warm multiply+add pass over 10M float64."""
+    global _PROBE_ARRAYS
+    import numpy as np
+
+    if _PROBE_ARRAYS is None:
+        a = np.random.default_rng(0).random(10_000_000)
+        _PROBE_ARRAYS = (a, a.copy(), np.empty_like(a))
+        a2, b2, c2 = _PROBE_ARRAYS  # warm: touch every page once
+        np.multiply(a2, b2, out=c2)
+    a, b, c = _PROBE_ARRAYS
+    t0 = time.perf_counter()
+    np.multiply(a, b, out=c)
+    np.add(c, a, out=c)
+    return time.perf_counter() - t0
+
+
+class _QuietGate:
+    """Bounded-budget wait-for-quiet-window helper (shared across attempts)."""
+
+    def __init__(self):
+        self.budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "240"))
+
+    def wait(self, tag: str = "") -> bool:
+        """Block until the probe is quiet or the budget runs out.
+
+        Returns True if the window is quiet now."""
+        p = _fma_probe()
+        waited = 0.0
+        while p > _PROBE_THRESH and self.budget > 0:
+            step = min(2.0, self.budget)
+            time.sleep(step)
+            self.budget -= step
+            waited += step
+            p = _fma_probe()
+        if waited:
+            _stderr(f"quiet-gate[{tag}]: waited {waited:.0f}s (probe {p * 1e3:.0f}ms, "
+                    f"budget left {self.budget:.0f}s)")
+        return p <= _PROBE_THRESH
+
+    def best_of(self, fn, repeats: int, tag: str) -> float:
+        """Best-of-N wall time for fn(), each attempt probe-gated.
+
+        If every attempt's post-probe was contended and budget remains,
+        grants one extra attempt — the case where a noise window opened
+        mid-run."""
+        best = None
+        any_quiet_finish = False
+        attempts = repeats
+        i = 0
+        while i < attempts:
+            self.wait(tag)
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            post_quiet = _fma_probe() <= _PROBE_THRESH
+            any_quiet_finish = any_quiet_finish or post_quiet
+            if best is None or dt < best:
+                best = dt
+            _stderr(f"{tag}[{i}]: {dt:.2f}s (post-probe "
+                    f"{'quiet' if post_quiet else 'CONTENDED'})")
+            i += 1
+            if i == attempts and not any_quiet_finish and self.budget > 0 \
+                    and attempts < repeats + 1:
+                attempts += 1  # one contention-triggered extra repeat
+        return best
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -80,21 +167,22 @@ def run_bench() -> dict:
     kg_repeats = int(os.environ.get("BENCH_KG_REPEATS", "2"))
     cols = ["conv_id", "turn_idx", "text", "tool"]
     actors = max(2, num_cpus // 4)
-    kg_wall = None
-    for rep in range(kg_repeats):
-        t0 = time.time()
+    gate = _QuietGate()
+    _kg_rep = [0]
+
+    def _kg_once():
         triples, nodes, edges, mentions = build_graph_datasets(
             rd.read_parquet(tpath, columns=cols),
             concurrency=(1, actors),
             batch_size=1024,
         )
-        out_dir = f"/tmp/bench_out/{os.getpid()}_{rep}"
+        out_dir = f"/tmp/bench_out/{os.getpid()}_{_kg_rep[0]}"
+        _kg_rep[0] += 1
         triples.write_parquet(os.path.join(out_dir, "triples"))
         nodes.write_parquet(os.path.join(out_dir, "nodes"))
-        dt = time.time() - t0
-        if kg_wall is None or dt < kg_wall:
-            kg_wall = dt
-        _stderr(f"kg build[{rep}]: {dt:.1f}s ({n_turns / dt:.0f} turns/s)")
+
+    kg_wall = gate.best_of(_kg_once, kg_repeats, "kg")
+    _stderr(f"kg build: {kg_wall:.1f}s best ({n_turns / kg_wall:.0f} turns/s)")
 
     qtimes = {}
     qnames = () if os.environ.get("BENCH_SKIP_QUERIES") else (
@@ -115,6 +203,8 @@ def run_bench() -> dict:
         "doc_line_dedup",
         "ann_join_exhaustive",
         "dedup_delta_vs_corpus",
+        "events_debounced",
+        "doc_repetition",
     )
     # best-of-N per query: this VM's wall clock varies +/-30% run to run,
     # so a single measurement is noise — the minimum of N in-session
@@ -123,15 +213,8 @@ def run_bench() -> dict:
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
     for name in qnames:
         fn, _sql = Q.QUERIES[name]
-        best = None
-        for _ in range(q_repeats):
-            t0 = time.time()
-            fn(sf_dir)
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
+        best = gate.best_of(lambda: fn(sf_dir), q_repeats, name)
         qtimes[name] = round(best, 3)
-        _stderr(f"{name}: {qtimes[name]}s (best of {q_repeats})")
 
     result = {
         "metric": "kg_build_wall_s",
@@ -142,6 +225,10 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / kg_wall, 1),
+        # diagnostics: memory-bus probe at exit + unused quiet-wait budget,
+        # so the artifact itself records what window it was measured in
+        "probe_ms": round(_fma_probe() * 1e3, 1),
+        "quiet_budget_left_s": round(gate.budget, 1),
     }
     ray.shutdown()
     return result
@@ -197,10 +284,12 @@ def run_scaling() -> dict:
     # noisy-machine methodology) so the ratio reflects the code, not a
     # noisy neighbor
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    gate = _QuietGate()
     out = {}
     for n in levels:
         best = None
         for _ in range(repeats):
+            gate.wait(f"scaling-{n}cpu")
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                        BENCH_NCONVS=str(n_convs), BENCH_SKIP_QUERIES="1",
                        # noise protection comes from best-of-3 fresh
