@@ -35,6 +35,25 @@ def _hash_col(values) -> np.ndarray:
     return pd.util.hash_array(arr)
 
 
+def _hash_col_md5(values) -> np.ndarray:
+    """uint64 = first 16 hex chars of md5(str(v)) — the SQL-parity hash
+    kernel: DuckDB computes the identical value as
+    ``('0x'||substr(md5(v),1,16))::UBIGINT``, which is what lets the HLL
+    driver queries carry a full register-exact SQL oracle. siphash
+    (_hash_col) stays the default for scale paths (no per-row digest)."""
+    import hashlib
+
+    if not len(values):
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in values],
+        dtype=np.uint64,
+    )
+
+
+_HLL_HASHES = {"siphash": _hash_col, "md5": _hash_col_md5}
+
+
 def kmv_partials(ds, col: str, *, k: int = 65536):
     """Per-batch KMV partial: the k smallest distinct uint64 hashes of
     ``col``, one list row per batch."""
@@ -245,15 +264,17 @@ def _hll_registers(h: np.ndarray, p: int, m: int) -> np.ndarray:
     return regs
 
 
-def hll_partials(ds, col: str, *, p: int = 12):
+def hll_partials(ds, col: str, *, p: int = 12, hash: str = "siphash"):
     """Per-batch HyperLogLog register partial: m = 2^p uint8 registers,
     register j = max over the batch's hashes landing in j of
     (1 + leading-zero count of the remaining 64-p bits). One m-byte row
-    per batch regardless of batch size."""
+    per batch regardless of batch size. ``hash="md5"`` selects the
+    SQL-parity kernel (see _hash_col_md5)."""
     m = 1 << p
+    hash_fn = _HLL_HASHES[hash]
 
     def partial(batch: pa.Table) -> pa.Table:
-        h = _hash_col(batch.column(col).to_pylist())
+        h = hash_fn(batch.column(col).to_pylist())
         regs = _hll_registers(h, p, m)
         return pa.table({"hll": pa.array([regs], type=pa.list_(pa.uint8()))})
 
@@ -288,8 +309,37 @@ def hll_distinct(ds, col: str, *, p: int = 12) -> int:
     return hll_estimate(regs)
 
 
+def hll_register_stats(regs: np.ndarray) -> dict:
+    """Integer-exact summary of a merged register array, hash-checkable
+    against a SQL oracle that recomputes the registers from md5 bits:
+    zero_regs, sum/max of rho, an order-free register checksum
+    sum((idx+1)*rho), plus the (rounded-int) estimate."""
+    nz = np.nonzero(regs)[0]
+    rho = regs[nz].astype(np.int64)
+    return {
+        "m": int(len(regs)),
+        "zero_regs": int(len(regs) - len(nz)),
+        "sum_rho": int(rho.sum()),
+        "max_rho": int(rho.max()) if len(rho) else 0,
+        "reg_checksum": int(((nz.astype(np.int64) + 1) * rho).sum()),
+        "est": hll_estimate(regs),
+    }
+
+
+def hll_distinct_stats(ds, col: str, *, p: int = 12,
+                       hash: str = "md5") -> dict:
+    """hll_distinct plus the register stats — the driver-checkable form
+    (md5 kernel by default so the oracle can rebuild the registers)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for row in hll_partials(ds, col, p=p, hash=hash).take_all():
+        regs = np.maximum(regs, np.asarray(row["hll"], dtype=np.uint8))
+    return hll_register_stats(regs)
+
+
 def hll_distinct_by(ds, key_col: str, col: str, *, p: int = 12,
-                    num_buckets: int = 32):
+                    num_buckets: int = 32, hash: str = "siphash",
+                    full: bool = False):
     """Per-key HyperLogLog distinct counts: one 2^p-byte register row per
     (batch, key) partial (mergeable by elementwise max, so the estimate
     per key is batching-invariant), merged per key in ONE bucketed
@@ -301,6 +351,7 @@ def hll_distinct_by(ds, key_col: str, col: str, *, p: int = 12,
     from .relational import hash_aggregate
 
     m = 1 << p
+    hash_fn = _HLL_HASHES[hash]
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
         df = pd.DataFrame({
@@ -309,7 +360,7 @@ def hll_distinct_by(ds, key_col: str, col: str, *, p: int = 12,
         })
         rows = {"k": [], "regs": []}
         for k, grp in df.groupby("k", sort=False):
-            regs = _hll_registers(_hash_col(grp["v"].to_numpy()), p, m)
+            regs = _hll_registers(hash_fn(grp["v"].to_numpy()), p, m)
             rows["k"].append(k)
             rows["regs"].append(regs.tobytes())
         return pd.DataFrame(rows)
@@ -317,14 +368,16 @@ def hll_distinct_by(ds, key_col: str, col: str, *, p: int = 12,
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out_k, out_e = [], []
+        out = []
         for k, grp in g.groupby("k", sort=False):
             regs = np.zeros(m, dtype=np.uint8)
             for b in grp["regs"]:
                 regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
-            out_k.append(k)
-            out_e.append(hll_estimate(regs))
-        return pd.DataFrame({"k": out_k,
-                             "est": pd.array(out_e, dtype="int64")})
+            row = hll_register_stats(regs) if full else {"est": hll_estimate(regs)}
+            out.append({"k": k, **row})
+        cols = ["k"] + (["m", "zero_regs", "sum_rho", "max_rho",
+                         "reg_checksum", "est"] if full else ["est"])
+        df_out = pd.DataFrame(out, columns=cols)
+        return df_out.astype({c: "int64" for c in cols if c != "k"})
 
     return hash_aggregate(parts, ["k"], merge, num_buckets=num_buckets).to_pandas()
