@@ -63,6 +63,8 @@ SQL_BACKED = [
     # round 4
     "doc_line_dedup", "doc_repetition", "doc_contamination",
     "ann_join_exhaustive", "doc_pack_sequences", "events_debounced",
+    # round 5: HLL register-parity oracles (md5 kernel)
+    "events_hll_users", "events_hll_users_by_type",
 ]
 
 
@@ -83,8 +85,7 @@ def test_query_matches_oracle(catalog, con, name):
 
 
 ROWS_ONLY = [
-    "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1", "events_hll_users",
-    "events_hll_users_by_type",
+    "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1",
 ]
 
 DOCS_SQL_BACKED = [
