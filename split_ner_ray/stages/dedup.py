@@ -940,10 +940,11 @@ def line_dedup_docs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     the limit, the distributed fallback left-tags exploded (id, pos,
     line) rows against the dup set in one line-key cogroup and reassembles
     docs in one id-key aggregate — two int/string-key exchanges, nothing
-    driver-sized; both paths are result-identical (tested either side of
-    the threshold) except that the fallback carries only
-    (id, text, n_lines, n_kept) while the broadcast path preserves all
-    input columns. ``sep`` is the line delimiter (real corpora: newline;
+    driver-sized. Both paths honor ONE schema contract (tested either
+    side of the threshold): all input columns in input order with
+    ``text_col`` rewritten in place, then ``n_lines`` / ``n_kept``
+    appended — the fallback re-joins non-text columns by id and reorders
+    to match. ``sep`` is the line delimiter (real corpora: newline;
     the oracle-checked query uses a token delimiter because the synthetic
     documents table is single-line).
     """
@@ -1029,15 +1030,19 @@ def line_dedup_docs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                              "n_kept": kept_counts})
 
     out = hash_aggregate(tagged, [id_col], reassemble)
-    extra_cols = [c for c in ds.schema().names
-                  if c not in (id_col, text_col)]
+    in_cols = list(ds.schema().names)
+    extra_cols = [c for c in in_cols if c not in (id_col, text_col)]
     if extra_cols:
         # restore non-text input columns so both paths share one schema
         # (a volume-triggered schema change would be a production trap)
         rest = ds.map_batches(lambda b: b[[id_col] + extra_cols],
                               batch_format="pandas")
         out = partitioned_join(out, rest, [id_col])
-    return out
+    # one schema contract for both regimes: input column ORDER preserved,
+    # n_lines/n_kept appended — identical to the broadcast path, so which
+    # regime ran is invisible to positional consumers
+    order = in_cols + ["n_lines", "n_kept"]
+    return out.map_batches(lambda b: b[order], batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

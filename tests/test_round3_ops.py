@@ -1551,10 +1551,13 @@ def test_line_dedup_hand_fixture_and_fallback_path_equal(rd):
     part = line_dedup_docs(rd.from_pandas(df), max_line_df=2,
                            dup_broadcast_limit=0).to_pandas()
     part = part.sort_values("doc_id").reset_index(drop=True)
-    cols = ["doc_id", "text", "n_lines", "n_kept", "lang"]
+    # one schema contract: both regimes emit input columns in input
+    # order + [n_lines, n_kept] — names, ORDER, and values identical
+    assert list(bc.columns) == ["doc_id", "text", "lang", "n_lines", "n_kept"]
+    assert list(part.columns) == list(bc.columns)
     pd.testing.assert_frame_equal(
-        bc[cols].astype({"n_lines": "int64", "n_kept": "int64"}),
-        part[cols].astype({"n_lines": "int64", "n_kept": "int64"}))
+        bc.astype({"n_lines": "int64", "n_kept": "int64"}),
+        part.astype({"n_lines": "int64", "n_kept": "int64"}))
 
 
 def test_repetition_stats_hand_fixture(rd):
