@@ -551,11 +551,24 @@ def _transcripts_ds(sf_dir: str):
 # turned every graph-op measurement into a KG-build measurement (and
 # multiplied the driver's correctness wall by the number of KG entries).
 # Each dataset is still computed fully in-engine — once per (process, sf).
-_ENGINE_KG_CACHE: dict[str, tuple] = {}
+_ENGINE_KG_CACHE: dict[tuple, tuple] = {}
+
+
+def _memo_key(sf_dir: str) -> tuple:
+    """(sf_dir, transcripts-parquet mtime): regenerating the input in the
+    same process (tests that rewrite testdata, long-lived drivers)
+    invalidates the memo instead of silently serving stale KG results."""
+    import os
+
+    from .synth import transcripts_path
+
+    p = transcripts_path(sf_dir)
+    return (sf_dir, os.stat(p).st_mtime_ns)
 
 
 def _engine_kg(sf_dir: str):
-    hit = _ENGINE_KG_CACHE.get(sf_dir)
+    key = _memo_key(sf_dir)
+    hit = _ENGINE_KG_CACHE.get(key)
     if hit is None:
         from .pipelines.kg import build_graph_datasets
 
@@ -563,7 +576,7 @@ def _engine_kg(sf_dir: str):
             _transcripts_ds(sf_dir), concurrency=(1, 4))
         hit = (t.materialize(), n.materialize(), e.materialize(), m)
         _ENGINE_KG_CACHE.clear()
-        _ENGINE_KG_CACHE[sf_dir] = hit
+        _ENGINE_KG_CACHE[key] = hit
     return hit
 
 
@@ -585,11 +598,12 @@ def kg_nodes(sf_dir: str):
 
 # same memo for the mentions-only entries (kg_mentions / mention_embeddings
 # / kg_entity_cooc): one detect+classify execution per (process, sf)
-_ENGINE_MENTIONS_CACHE: dict[str, object] = {}
+_ENGINE_MENTIONS_CACHE: dict[tuple, object] = {}
 
 
 def _engine_mentions(sf_dir: str):
-    hit = _ENGINE_MENTIONS_CACHE.get(sf_dir)
+    key = _memo_key(sf_dir)
+    hit = _ENGINE_MENTIONS_CACHE.get(key)
     if hit is None:
         from .stages.extract import detect_and_classify, flatten_mentions
 
@@ -597,7 +611,7 @@ def _engine_mentions(sf_dir: str):
             detect_and_classify(_transcripts_ds(sf_dir), concurrency=(1, 4))
         ).materialize()
         _ENGINE_MENTIONS_CACHE.clear()
-        _ENGINE_MENTIONS_CACHE[sf_dir] = hit
+        _ENGINE_MENTIONS_CACHE[key] = hit
     return hit
 
 

@@ -576,7 +576,11 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     rows = ds.map_batches(sigs, batch_format="pandas")
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        d = group.drop_duplicates("id").sort_values("id")
+        # dedupe (id, sim) pairs, not id alone: a clean corpus emits each
+        # (band, id) once so this is the same thing, but if duplicate
+        # doc_ids with DIFFERENT texts ever reach the stage both
+        # signatures stay in play instead of one being silently dropped
+        d = group.drop_duplicates(["id", "sim"]).sort_values("id")
         ids = d["id"].to_numpy(dtype=np.int64)
         sims = (d["sim"].to_numpy(dtype=np.int64) ^ np.int64(-(1 << 63))).view(np.uint64)
         k = len(ids)
