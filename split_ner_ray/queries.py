@@ -3044,7 +3044,8 @@ def dedup_delta_vs_corpus(sf_dir: str):
     (oracle_docs.serial_delta_pairs)."""
     import shutil
 
-    from .stages.dedup import (minhash_dups_against_index,
+    from .stages.dedup import (MINHASH_KERNEL_VERSION,
+                               minhash_dups_against_index,
                                minhash_index_build)
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -3054,11 +3055,18 @@ def dedup_delta_vs_corpus(sf_dir: str):
         lambda b: b[b["doc_id"] % DELTA_SPLIT_MOD == 0], batch_format="pandas")
 
     name = os.path.basename(os.path.normpath(sf_dir))
-    idx = f"/tmp/graft_mh_index/{name}_v1"
+    # cache dir derives from EVERY parameter the stored hashes depend on
+    # (plus the hashing-kernel version), so a kernel or parameter change
+    # can never silently probe a stale index (ADVICE r04)
+    meta = dict(num_perm=64, ngram=3, seed=7, bands=16, shards=64,
+                kernel=MINHASH_KERNEL_VERSION)
+    tag = "_".join(f"{k}{v}" for k, v in sorted(meta.items()))
+    idx = f"/tmp/graft_mh_index/{name}_{tag}"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         tmp = idx + f".tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        minhash_index_build(corpus, tmp)
+        minhash_index_build(corpus, tmp,
+                            **{k: v for k, v in meta.items() if k != "kernel"})
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok")
         os.makedirs(os.path.dirname(idx), exist_ok=True)

@@ -58,6 +58,12 @@ def _sig_lookup(ref) -> tuple[np.ndarray, np.ndarray]:
     return hit
 
 
+# bump whenever the shingle/signature hashing kernel changes (blake2b ->
+# siphash was v2): persistent MinHash index dirs embed this so a kernel
+# change can never silently probe an index built with the old hashes
+MINHASH_KERNEL_VERSION = 2
+
+
 def _hash_strings(strs: list[str]) -> np.ndarray:
     """Vectorized deterministic uint64 hash of many strings in ONE C call
     (pandas' fixed-key siphash) — replaces a per-string blake2b loop that
