@@ -34,6 +34,29 @@ def read_transcripts(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns or EXTRACT_COLS)
 
 
+# In-memory-route ceiling (input parquet bytes on disk). Below it the
+# combined extraction materializes in the object store (measured fine
+# through 10M turns with no spill); above it build_graph_datasets
+# auto-delegates to the streaming checkpointed job, whose phase-A output
+# goes straight to parquet per commit-group — bounded memory AND free
+# resumability at exactly the sizes where a retry-from-zero hurts.
+KG_INMEM_ROUTE_LIMIT_BYTES = 16 << 30
+
+
+def _pure_read_files(ds) -> list[str]:
+    """The dataset's input parquet files IFF it is an untransformed
+    read_parquet (safe to re-read by path); [] otherwise. A dataset with
+    transforms applied must NOT be routed through the path-based
+    checkpointed job — the transforms would be silently dropped."""
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ != "Read" or dag.input_dependencies:
+            return []
+        return list(ds.input_files())
+    except Exception:
+        return []
+
+
 def build_graph_datasets(
     transcripts,
     *,
@@ -45,13 +68,38 @@ def build_graph_datasets(
     decode_mode: str = "first_wins",
     context_mode: str = "recency",
     link_sim_threshold: float | None = None,
+    inmem_limit_bytes: int = KG_INMEM_ROUTE_LIMIT_BYTES,
+    checkpoint_dir: str | None = None,
 ):
     """transcripts Dataset -> (triples, nodes, edges, mentions) Datasets.
 
     ``mentions`` and ``raw_triples`` fan out from one classified stream.
     The canon map is materialized (it is the small distinct-surface table,
     not the corpus) and broadcast once via ray.put.
+
+    Auto-routing: when ``transcripts`` is an untransformed read_parquet
+    whose on-disk input exceeds ``inmem_limit_bytes``, the build delegates
+    to the streaming checkpointed job (pipelines/checkpointed.py) under
+    ``checkpoint_dir`` (derived from the input fingerprint if None) and
+    returns the job's parquet outputs as Datasets — byte-identical
+    triples (tested), bounded memory, resumable. Datasets with transforms
+    applied never route (the guard requires a pure read); pass
+    ``inmem_limit_bytes=0`` with a pure read to force the job route.
     """
+    files = _pure_read_files(transcripts)
+    if files:
+        import os
+
+        total = sum(os.path.getsize(f) for f in files)
+        if total > inmem_limit_bytes:
+            return _build_via_checkpointed_job(
+                files, total, checkpoint_dir,
+                concurrency=concurrency, batch_size=batch_size,
+                window_turns=window_turns, max_tokens=max_tokens,
+                scorer=scorer, decode_mode=decode_mode,
+                context_mode=context_mode,
+                link_sim_threshold=link_sim_threshold,
+            )
     # ONE fused streaming pipeline (detect -> classify -> window -> grouped
     # extraction emitting mention AND triple rows) ending in the single
     # reassembly shuffle; only its small combined output is materialized —
@@ -112,6 +160,44 @@ def build_graph_datasets(
         raise errors[0]
     triples, nodes = results["triples"], results["nodes"]
     edges = lk.build_edges(triples)
+    return triples, nodes, edges, mentions
+
+
+def _build_via_checkpointed_job(files, total_bytes, checkpoint_dir, *,
+                                concurrency, batch_size, window_turns,
+                                max_tokens, scorer, decode_mode,
+                                context_mode, link_sim_threshold):
+    """Large-corpus route: run (or resume) the streaming checkpointed job
+    over the exact input fragments and return its parquet outputs as
+    Datasets. The job dir is fingerprinted by (path, size, mtime) of every
+    fragment, so a completed job for unchanged input is reused and a
+    changed input never hits a stale _SUCCESS."""
+    import hashlib
+    import json
+    import os
+
+    from . import checkpointed as cp
+
+    if checkpoint_dir is None:
+        sig = hashlib.md5(json.dumps(
+            [[f, os.path.getsize(f), os.stat(f).st_mtime_ns]
+             for f in sorted(files)]
+        ).encode()).hexdigest()[:16]
+        checkpoint_dir = f"/tmp/graft_kg_job/{sig}"
+    if not os.path.exists(os.path.join(checkpoint_dir, "_SUCCESS")):
+        cp.build_graph_job(
+            sorted(files), checkpoint_dir,
+            concurrency=concurrency, batch_size=batch_size,
+            window_turns=window_turns, max_tokens=max_tokens,
+            scorer=scorer, decode_mode=decode_mode,
+            context_mode=context_mode,
+            link_sim_threshold=link_sim_threshold,
+        )
+    triples = rd.read_parquet(os.path.join(checkpoint_dir, "triples"))
+    nodes = rd.read_parquet(os.path.join(checkpoint_dir, "nodes"))
+    edges = rd.read_parquet(os.path.join(checkpoint_dir, "edges"))
+    mentions = rd.read_parquet(
+        os.path.join(checkpoint_dir, "_work", "mentions"))
     return triples, nodes, edges, mentions
 
 

@@ -16,10 +16,20 @@ import json
 import os
 
 
-def plan_groups(input_path: str, files_per_group: int = 4) -> list[dict]:
+def plan_groups(input_path: str | list[str],
+                files_per_group: int = 4) -> list[dict]:
     """Deterministic work plan: sorted parquet fragments chunked into
     commit groups. Group identity = its sorted file list, so re-planning
-    after a crash yields identical groups."""
+    after a crash yields identical groups. Accepts a directory, a single
+    file, or an explicit file list (the auto-routed kg path hands over
+    the exact files its Dataset read)."""
+    if isinstance(input_path, (list, tuple)):
+        files = sorted(input_path)
+        groups = []
+        for i in range(0, len(files), files_per_group):
+            groups.append({"group_id": i // files_per_group,
+                           "files": files[i:i + files_per_group]})
+        return groups
     if os.path.isdir(input_path):
         files = sorted(
             os.path.join(input_path, f)

@@ -183,3 +183,42 @@ def test_curate_job_kill_and_resume_identical(ray_session, docs_dir, tmp_path):
     v_crash = pq.read_table(os.path.join(crashed, "_work", "quality",
                                          f"group={victim:05d}")).num_rows
     assert v_clean == v_crash
+
+
+def test_auto_route_threshold_byte_identical(ray_session, transcripts_dir, tmp_path):
+    """build_graph_datasets auto-routes a pure read over the in-memory
+    size threshold to the checkpointed job; triples/nodes/edges are
+    byte-identical across both routes, and a transformed dataset never
+    routes (the pure-read guard)."""
+    import ray.data as rd
+
+    from split_ner_ray.pipelines.kg import (EXTRACT_COLS,
+                                            _pure_read_files,
+                                            build_graph_datasets)
+
+    def _df(ds, sort_cols):
+        df = ds.to_pandas()
+        return (df.sort_values(sort_cols).reset_index(drop=True)
+                .astype({c: "int64" for c in df.columns
+                         if str(df[c].dtype).startswith("int")}))
+
+    read = lambda: rd.read_parquet(transcripts_dir, columns=EXTRACT_COLS)
+    # in-memory route (default threshold far above this corpus)
+    t_a, n_a, e_a, m_a = build_graph_datasets(read(), concurrency=2,
+                                              batch_size=256)
+    # forced job route (threshold 0 on the same pure read)
+    t_b, n_b, e_b, m_b = build_graph_datasets(
+        read(), concurrency=2, batch_size=256, inmem_limit_bytes=0,
+        checkpoint_dir=str(tmp_path / "job"))
+    assert os.path.exists(str(tmp_path / "job" / "_SUCCESS"))
+
+    for a, b, cols in [(t_a, t_b, ["subj_id", "pred", "obj_id"]),
+                       (n_a, n_b, ["entity_id"]),
+                       (e_a, e_b, ["src_id", "dst_id", "pred"])]:
+        da, db = _df(a, cols), _df(b, cols)
+        pd.testing.assert_frame_equal(da, db[da.columns])
+    assert m_a.count() == m_b.count()
+
+    # guard: a transformed dataset is not path-routable
+    assert _pure_read_files(read().map_batches(lambda x: x)) == []
+    assert len(_pure_read_files(read())) == 5
