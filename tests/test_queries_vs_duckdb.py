@@ -85,7 +85,8 @@ def test_query_matches_oracle(catalog, con, name):
 
 
 ROWS_ONLY = [
-    "ann_ivf_cosine", "kg_parity_metrics", "kg_span_f1",
+    "ann_ivf_cosine", "ann_ivf_index_cosine", "kg_parity_metrics",
+    "kg_span_f1",
 ]
 
 DOCS_SQL_BACKED = [
@@ -197,6 +198,12 @@ def test_rows_only_queries_run(catalog, name):
         assert out.iloc[0]["micro_f1_pct"] == 10000
     if name.startswith("kg_"):
         assert len(out) > 0
+    if name.startswith("ann_"):
+        # the deterministic quality claim the driver row carries:
+        # per-qid integer hit counts vs the exact top-k, bounded here
+        per_qid = out.groupby("qid")["recall_hits"].first()
+        recall = per_qid.sum() / (len(per_qid) * 5)
+        assert recall >= 0.95, f"recall@5 {recall} below bound"
 
 
 def test_transcripts_tool_stats_matches_sql(catalog, con):
