@@ -1090,6 +1090,22 @@ def minhash_index_build(docs_ds, index_dir: str, *, id_col: str = "doc_id",
     sigs = minhash_signatures(docs_ds, id_col=id_col, text_col=text_col,
                               num_perm=num_perm, ngram=ngram,
                               seed=seed).materialize()
+    _index_write_partitions(sigs, index_dir, num_perm=num_perm,
+                            bands=bands, shards=shards)
+    meta = {"num_perm": num_perm, "ngram": ngram, "seed": seed,
+            "bands": bands, "shards": shards}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _index_write_partitions(sigs, index_dir: str, *, num_perm: int,
+                            bands: int, shards: int) -> None:
+    """Write a signature Dataset into the index's two partition families
+    (shared by build and append — write_parquet adds files to existing
+    hive dirs, so an append just lands more files in the right
+    partitions)."""
+    import os
 
     def add_id_shard(b: pa.Table) -> pa.Table:
         ids = b.column("id").to_numpy(zero_copy_only=False)
@@ -1115,11 +1131,60 @@ def minhash_index_build(docs_ds, index_dir: str, *, id_col: str = "doc_id",
         add_pkey, batch_format="pyarrow"
     ).sort("pkey").write_parquet(os.path.join(index_dir, "bands"),
                                  partition_cols=["pkey"])
-    meta = {"num_perm": num_perm, "ngram": ngram, "seed": seed,
-            "bands": bands, "shards": shards}
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+
+
+def minhash_index_append(docs_ds, index_dir: str, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> dict:
+    """Append accepted docs (e.g. a deduped delta) to an EXISTING index —
+    the missing half of the incremental loop: crawl N is probed against
+    the index, its keepers are appended, crawl N+1 then sees them.
+    Hash parameters come from the index's meta.json, so appended rows
+    hash identically to the original build; ids must remain globally
+    unique across every append. Each append adds O(sorted-blocks) files
+    per touched partition — run minhash_index_compact periodically to
+    fold them back to O(1) files per partition."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sigs = minhash_signatures(
+        docs_ds, id_col=id_col, text_col=text_col,
+        num_perm=int(meta["num_perm"]), ngram=int(meta["ngram"]),
+        seed=int(meta["seed"])).materialize()
+    _index_write_partitions(sigs, index_dir,
+                            num_perm=int(meta["num_perm"]),
+                            bands=int(meta["bands"]),
+                            shards=int(meta["shards"]))
     return meta
+
+
+def minhash_index_compact(index_dir: str) -> None:
+    """Fold each partition family back to O(1) files per partition after
+    a run of appends: one sorted pass per family (the partition keys are
+    re-derived from data columns, so this reuses the build's
+    sorted-partitioned-write discipline), committed by directory swap.
+    Not crash-atomic across the two renames — rerun after a crash (the
+    rewrite is idempotent from the surviving family)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    for family in ("sigs", "bands"):
+        src = os.path.join(index_dir, family)
+        pcol = "id_shard" if family == "sigs" else "pkey"
+        tmp = src + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # hive partition columns come back as data columns on read; one
+        # sort restores the O(1)-files-per-dir layout
+        rd.read_parquet(src).sort(pcol).write_parquet(
+            tmp, partition_cols=[pcol])
+        old = src + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 DELTA_BROADCAST_LIMIT = 5_000_000

@@ -1896,3 +1896,63 @@ def test_minhash_delta_distributed_path_equal(rd, tmp_path):
     pd.testing.assert_frame_equal(
         bc[["new_id", "old_id", "est"]], dist[["new_id", "old_id", "est"]])
     assert len(bc) >= 8
+
+
+def test_minhash_index_append_and_compact(rd, tmp_path):
+    """Incremental loop round-trip: crawl A's keepers are APPENDED to the
+    corpus index, so crawl B's probe finds dups of both the original
+    corpus and crawl A; compaction folds the appended files back to O(1)
+    per partition without changing any probe result."""
+    import glob
+    import os
+
+    from split_ner_ray.stages.dedup import (minhash_dups_against_index,
+                                            minhash_index_append,
+                                            minhash_index_build,
+                                            minhash_index_compact)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    corpus_texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(150)]
+    corpus = pd.DataFrame({"doc_id": np.arange(1000, 1150),
+                           "text": corpus_texts})
+    delta_a_texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(20)]
+    delta_a = pd.DataFrame({"doc_id": np.arange(2000, 2020),
+                            "text": delta_a_texts})
+    # delta B: 5 dups of corpus docs, 5 dups of delta-A docs, 5 fresh
+    delta_b_texts = ([corpus_texts[i * 13] for i in range(5)]
+                     + [delta_a_texts[i * 3] for i in range(5)]
+                     + [" ".join(rng.choice(vocab, size=30))
+                        for _ in range(5)])
+    delta_b = pd.DataFrame({"doc_id": np.arange(3000, 3015),
+                            "text": delta_b_texts})
+
+    idx = str(tmp_path / "mh_index")
+    minhash_index_build(rd.from_pandas(corpus), idx, bands=16, shards=8)
+
+    # before the append, B's delta-A dups are invisible
+    pre = minhash_dups_against_index(
+        rd.from_pandas(delta_b), idx, verify_threshold=0.9).to_pandas()
+    assert set(pre.loc[pre["est"] == 1.0, "old_id"]) <= set(range(1000, 1150))
+
+    minhash_index_append(rd.from_pandas(delta_a), idx)
+    post = minhash_dups_against_index(
+        rd.from_pandas(delta_b), idx, verify_threshold=0.9).to_pandas()
+    exact = post[post["est"] == 1.0]
+    # every corpus dup AND every delta-A dup found
+    assert {(3000 + i, 1000 + i * 13) for i in range(5)} <= {
+        (int(r.new_id), int(r.old_id)) for r in exact.itertuples()}
+    assert {(3005 + i, 2000 + i * 3) for i in range(5)} <= {
+        (int(r.new_id), int(r.old_id)) for r in exact.itertuples()}
+
+    # compaction: fewer-or-equal files per partition, identical results
+    n_before = len(glob.glob(os.path.join(idx, "*", "*", "*.parquet")))
+    minhash_index_compact(idx)
+    n_after = len(glob.glob(os.path.join(idx, "*", "*", "*.parquet")))
+    assert n_after <= n_before
+    compacted = minhash_dups_against_index(
+        rd.from_pandas(delta_b), idx, verify_threshold=0.9).to_pandas()
+    key = ["new_id", "old_id"]
+    pd.testing.assert_frame_equal(
+        post.sort_values(key).reset_index(drop=True),
+        compacted.sort_values(key).reset_index(drop=True))
