@@ -46,7 +46,23 @@ def _stderr(*a):
 # ---------------------------------------------------------------------------
 
 _PROBE_THRESH = float(os.environ.get("BENCH_PROBE_THRESH", "0.07"))
+# hypervisor steal fraction during an attempt above which the attempt is
+# treated as contended (measured on this VM: ~3% steal = in-band wall,
+# 6-8% steal = 1.2-1.5x slow; the fma probe alone misses steal-shaped
+# contention because it samples an instant, not the attempt's interval)
+_STEAL_FRAC_THRESH = float(os.environ.get("BENCH_STEAL_FRAC", "0.04"))
 _PROBE_ARRAYS = None
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — interval deltas give the
+    fraction of CPU time the hypervisor stole during an attempt."""
+    try:
+        with open("/proc/stat") as f:
+            parts = [int(x) for x in f.readline().split()[1:]]
+        return parts[7] if len(parts) > 7 else 0, sum(parts)
+    except OSError:
+        return 0, 1
 
 
 def _fma_probe() -> float:
@@ -72,22 +88,33 @@ class _QuietGate:
     def __init__(self):
         self.budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "240"))
 
+    def _quiet_now(self) -> bool:
+        """fma probe (memory bus, instantaneous) + a 0.5 s steal sample
+        (hypervisor contention, interval) — the two observed noise
+        shapes on this VM."""
+        if _fma_probe() > _PROBE_THRESH:
+            return False
+        st0, tot0 = _cpu_jiffies()
+        time.sleep(0.5)
+        st1, tot1 = _cpu_jiffies()
+        return (st1 - st0) / max(1, tot1 - tot0) < _STEAL_FRAC_THRESH
+
     def wait(self, tag: str = "") -> bool:
         """Block until the probe is quiet or the budget runs out.
 
         Returns True if the window is quiet now."""
-        p = _fma_probe()
+        quiet = self._quiet_now()
         waited = 0.0
-        while p > _PROBE_THRESH and self.budget > 0:
+        while not quiet and self.budget > 0:
             step = min(2.0, self.budget)
             time.sleep(step)
             self.budget -= step
             waited += step
-            p = _fma_probe()
+            quiet = self._quiet_now()
         if waited:
-            _stderr(f"quiet-gate[{tag}]: waited {waited:.0f}s (probe {p * 1e3:.0f}ms, "
-                    f"budget left {self.budget:.0f}s)")
-        return p <= _PROBE_THRESH
+            _stderr(f"quiet-gate[{tag}]: waited {waited:.0f}s "
+                    f"(quiet={quiet}, budget left {self.budget:.0f}s)")
+        return quiet
 
     def best_of(self, fn, repeats: int, tag: str) -> float:
         """Best-of-N wall time for fn(), each attempt probe-gated.
@@ -101,19 +128,24 @@ class _QuietGate:
         i = 0
         while i < attempts:
             self.wait(tag)
+            st0, tot0 = _cpu_jiffies()
             t0 = time.time()
             fn()
             dt = time.time() - t0
-            post_quiet = _fma_probe() <= _PROBE_THRESH
+            st1, tot1 = _cpu_jiffies()
+            steal_frac = (st1 - st0) / max(1, tot1 - tot0)
+            post_quiet = (_fma_probe() <= _PROBE_THRESH
+                          and steal_frac < _STEAL_FRAC_THRESH)
             any_quiet_finish = any_quiet_finish or post_quiet
             if best is None or dt < best:
                 best = dt
-            _stderr(f"{tag}[{i}]: {dt:.2f}s (post-probe "
+            _stderr(f"{tag}[{i}]: {dt:.2f}s (steal {steal_frac * 100:.1f}%, "
                     f"{'quiet' if post_quiet else 'CONTENDED'})")
             i += 1
             if i == attempts and not any_quiet_finish and self.budget > 0 \
-                    and attempts < repeats + 1:
-                attempts += 1  # one contention-triggered extra repeat
+                    and attempts < repeats + 2:
+                attempts += 1  # contention-triggered extra repeat (max 2)
+                self.budget -= dt  # extra wall time spends the wait budget
         return best
 
 
