@@ -46,21 +46,26 @@ def _stderr(*a):
 # ---------------------------------------------------------------------------
 
 _PROBE_THRESH = float(os.environ.get("BENCH_PROBE_THRESH", "0.07"))
-# hypervisor steal fraction during an attempt above which the attempt is
-# treated as contended (measured on this VM: ~3% steal = in-band wall,
-# 6-8% steal = 1.2-1.5x slow; the fma probe alone misses steal-shaped
-# contention because it samples an instant, not the attempt's interval)
-_STEAL_FRAC_THRESH = float(os.environ.get("BENCH_STEAL_FRAC", "0.04"))
+# hypervisor steal as a fraction of DEMANDED (non-idle) CPU above which
+# an interval counts as contended. Non-idle denominator so a 1-core wait
+# probe and a 32-core attempt measure the same thing (a total-jiffies
+# denominator dilutes a single-core probe 32x). Calibrated on this VM:
+# in-band kg runs measured ~6% steal/non-idle, 1.2-1.5x-slow runs 11%+,
+# heavy windows 40%+. The fma probe alone misses steal-shaped contention
+# (it samples an instant; steal is an interval phenomenon under load).
+_STEAL_FRAC_THRESH = float(os.environ.get("BENCH_STEAL_FRAC", "0.08"))
 _PROBE_ARRAYS = None
 
 
 def _cpu_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — interval deltas give the
-    fraction of CPU time the hypervisor stole during an attempt."""
+    """(steal, non-idle) jiffies from /proc/stat — interval deltas give
+    steal as a fraction of the CPU time actually demanded."""
     try:
         with open("/proc/stat") as f:
             parts = [int(x) for x in f.readline().split()[1:]]
-        return parts[7] if len(parts) > 7 else 0, sum(parts)
+        steal = parts[7] if len(parts) > 7 else 0
+        nonidle = sum(parts) - parts[3] - (parts[4] if len(parts) > 4 else 0)
+        return steal, nonidle
     except OSError:
         return 0, 1
 
@@ -89,13 +94,16 @@ class _QuietGate:
         self.budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "240"))
 
     def _quiet_now(self) -> bool:
-        """fma probe (memory bus, instantaneous) + a 0.5 s steal sample
-        (hypervisor contention, interval) — the two observed noise
-        shapes on this VM."""
+        """fma probe (memory bus, instantaneous) + steal sampled UNDER a
+        ~0.4 s fma burn (steal is zero on an idle VM even mid-window —
+        the hypervisor only steals cycles that are demanded) — the two
+        observed noise shapes on this VM."""
         if _fma_probe() > _PROBE_THRESH:
             return False
         st0, tot0 = _cpu_jiffies()
-        time.sleep(0.5)
+        t_end = time.perf_counter() + 0.4
+        while time.perf_counter() < t_end:
+            _fma_probe()
         st1, tot1 = _cpu_jiffies()
         return (st1 - st0) / max(1, tot1 - tot0) < _STEAL_FRAC_THRESH
 
