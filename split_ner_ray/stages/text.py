@@ -384,3 +384,133 @@ def add_bpe_token_counts(ds, text_col: str = "text",
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (CCNet-style: score each doc by corpus LM)
+# ---------------------------------------------------------------------------
+
+LM_QUANT = 1_000_000
+
+
+def unigram_lm_scores(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      quant: int = LM_QUANT, num_buckets: int = 64,
+                      broadcast_counts: bool = True):
+    """Per-document unigram language-model score — the CCNet-style
+    curation signal (KenLM perplexity's shuffle-shape without the model
+    dependency): train unigram counts over the corpus, score each doc by
+    its tokens' log-probabilities.
+
+    Shape: pass 1 counts tokens with per-batch value_counts partials +
+    ONE bucketed aggregate — the result is VOCABULARY-sized and
+    broadcast by default (ray.put once, worker-cached); pass 2 maps each
+    batch's exploded tokens through the count table and reduces per doc
+    with NO shuffle (each input row is one whole doc). At a vocabulary
+    too large to broadcast, ``broadcast_counts=False`` joins exploded
+    token rows against the count table on tok (partitioned join) and
+    reduces per doc in one id-bucketed aggregate.
+
+    Scores are INTEGER-quantized so the result is hash-exact vs SQL:
+    lm_q = sum over tokens of floor(quant * ln(c_tok / N)). Output rows
+    (id, n_tokens, lm_q); zero-token docs are excluded (same contract as
+    the SQL oracle's join). More-negative lm_q per token = rarer tokens;
+    consumers divide by n_tokens for a length-normalized quality score.
+    """
+    import ray
+
+    from .relational import hash_aggregate, partitioned_join
+
+    def tok_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[text_col].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy().astype("int64")})
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tok", as_index=False)["c"].sum()
+        return out.astype({"c": "int64"})
+
+    counts_ds = hash_aggregate(
+        ds.map_batches(tok_counts, batch_format="pandas"), ["tok"],
+        merge_counts, num_buckets=num_buckets).materialize()
+    total = int(counts_ds.sum("c") or 0)
+
+    def explode_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split()
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), lens),
+            "tok": toks.explode().dropna().to_numpy(dtype=object),
+        })
+
+    if broadcast_counts:
+        cdf = counts_ds.to_pandas()
+        cnt_ref = ray.put(dict(zip(cdf["tok"], cdf["c"].astype(int))))
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            cnt = ray.get(cnt_ref)
+            e = explode_rows(batch)
+            if not len(e):
+                return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                     "n_tokens": pd.array([], dtype="int64"),
+                                     "lm_q": pd.array([], dtype="int64")})
+            c = e["tok"].map(cnt).to_numpy(dtype="float64")
+            q = np.floor(quant * np.log(c / total)).astype("int64")
+            g = pd.DataFrame({id_col: e[id_col], "q": q}).groupby(
+                id_col, as_index=False).agg(n_tokens=("q", "size"),
+                                            lm_q=("q", "sum"))
+            return g.astype({"n_tokens": "int64", "lm_q": "int64"})
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # distributed fallback: join exploded rows to counts on tok, then one
+    # id-bucketed reduce — nothing driver-sized
+    rows = ds.map_batches(explode_rows, batch_format="pandas")
+    joined = partitioned_join(rows, counts_ds, ["tok"],
+                              num_buckets=num_buckets)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(quant * np.log(
+            g["c"].to_numpy(dtype="float64") / total)).astype("int64")
+        out = pd.DataFrame({id_col: g[id_col], "q": q}).groupby(
+            id_col, as_index=False).agg(n_tokens=("q", "size"),
+                                        lm_q=("q", "sum"))
+        return out.astype({"n_tokens": "int64", "lm_q": "int64"})
+
+    return hash_aggregate(joined, [id_col], per_doc, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (curation scrub pass)
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns shared VERBATIM with the DuckDB oracle (RE2), same
+# discipline as BPE_PATTERN_SQL: \b is an ASCII word boundary in both
+# engines (re.A), classes are explicit. Replacement is sequential in
+# tuple order; counts are measured on the ORIGINAL text (both sides).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(ds, text_col: str = "text"):
+    """Scrub emails / IPv4s / +intl phone numbers from ``text_col`` —
+    the pre-training privacy pass. Vectorized: one compiled-regex
+    str.count per pattern for the per-doc counts (on the original text)
+    and chained str.replace for the rewrite; no per-row Python loop.
+    Adds n_email / n_ipv4 / n_phone and rewrites the text in place."""
+    pats = [(name, re.compile(pat, re.A), sub) for name, pat, sub in PII_PATTERNS]
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        s = batch[text_col]
+        for name, rx, _sub in pats:
+            batch[f"n_{name}"] = s.str.count(rx).fillna(0).astype("int64")
+        red = s
+        for _name, rx, sub in pats:
+            red = red.str.replace(rx, sub, regex=True)
+        batch[text_col] = red
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -63,8 +63,9 @@ SQL_BACKED = [
     # round 4
     "doc_line_dedup", "doc_repetition", "doc_contamination",
     "ann_join_exhaustive", "doc_pack_sequences", "events_debounced",
-    # round 5: HLL register-parity oracles (md5 kernel)
+    # round 5: HLL register-parity oracles (md5 kernel), LM scoring, PII
     "events_hll_users", "events_hll_users_by_type",
+    "doc_lm_score", "doc_pii_redacted",
 ]
 
 

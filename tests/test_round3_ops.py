@@ -1956,3 +1956,49 @@ def test_minhash_index_append_and_compact(rd, tmp_path):
     pd.testing.assert_frame_equal(
         post.sort_values(key).reset_index(drop=True),
         compacted.sort_values(key).reset_index(drop=True))
+
+
+def test_redact_pii_hand_fixture(rd):
+    """Real redaction behavior (the synthetic corpus has no PII, so the
+    catalog row only proves regex parity): emails, IPv4s and +intl
+    phones are replaced, counts measured on the original text."""
+    from split_ner_ray.stages.text import redact_pii
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail bob.smith+x@corp-1.example.com now",
+                 "host 10.0.255.7 called +1 (555) 123-4567 twice",
+                 "clean text with no pii at all"],
+    })
+    out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "mail <EMAIL> now",
+        "host <IP> called <PHONE> twice",
+        "clean text with no pii at all",
+    ]
+    assert out["n_email"].tolist() == [1, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 1, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0]
+
+
+def test_unigram_lm_scores_paths_equal(rd):
+    """Broadcast and partitioned-join LM scoring agree row for row; rare
+    tokens score more negative; zero-token docs are excluded."""
+    from split_ner_ray.stages.text import unigram_lm_scores
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["common common common common", "common rare", "   ",
+                 "common common rare"],
+    })
+    bc = unigram_lm_scores(rd.from_pandas(df)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pj = unigram_lm_scores(
+        rd.from_pandas(df), broadcast_counts=False).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
+    assert bc["doc_id"].tolist() == [1, 2, 4]  # whitespace doc excluded
+    # per-token average: doc 1 (all common) scores higher than doc 2
+    avg = bc["lm_q"] / bc["n_tokens"]
+    assert avg.iloc[0] > avg.iloc[1]
