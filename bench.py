@@ -326,8 +326,10 @@ def run_scaling() -> dict:
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     gate = _QuietGate()
     out = {}
+    attempts: dict[int, list[float]] = {}
     for n in levels:
         best = None
+        attempts[n] = []
         for _ in range(repeats):
             gate.wait(f"scaling-{n}cpu")
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
@@ -344,12 +346,19 @@ def run_scaling() -> dict:
             )
             res = json.loads(r.stdout.strip().splitlines()[-1])
             _stderr(f"num_cpus={n}: {res['value']}s")
+            attempts[n].append(res["value"])
             if best is None or res["value"] < best["value"]:
                 best = res
         out[n] = best
     lo, hi = levels
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # the per-run best-of ratio is the noisiest artifact on this VM (the
+    # low level's spread can pair a fast outlier against a slow window);
+    # publish every attempt + the median-based ratio so any consumer can
+    # pool runs under either estimator
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    eff_median = (med(attempts[lo]) / med(attempts[hi])) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -359,6 +368,8 @@ def run_scaling() -> dict:
         f"sec_{hi}cpu": t_hi,
         f"throughput_{lo}": out[lo]["turns_per_sec"],
         f"throughput_{hi}": out[hi]["turns_per_sec"],
+        "value_median": round(eff_median, 3),
+        "attempts": {str(k): v for k, v in attempts.items()},
         "sf": out[hi]["sf"],
         "n_turns": out[hi]["n_turns"],
     }
