@@ -514,3 +514,119 @@ def redact_pii(ds, text_col: str = "text"):
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical top-k search (the keyword-retrieval complement to
+# stages/ann's embedding similarity search)
+# ---------------------------------------------------------------------------
+
+def bm25_topk(ds, queries, *, id_col: str = "doc_id", text_col: str = "text",
+              k: int = 5, k1: float = 1.2, b: float = 0.75,
+              quant: int = 1_000_000, num_buckets: int = 32):
+    """Top-k documents per keyword query by BM25 — the lexical retrieval
+    op a training-data pipeline runs next to embedding ANN (benchmark
+    decontamination lookups, eval-set retrieval, boolean-ish corpus
+    probes). ``queries`` is [(qid, query_text)].
+
+    Shape: pass 1 computes the corpus stats BM25 needs — N, total token
+    count (for avgdl as the exact rational T/N), and document frequency
+    for QUERY terms only (the partial table is query-vocabulary-sized,
+    never corpus-sized) — as per-batch partials with one tiny driver
+    merge. Pass 2 rescans the corpus once: each input row is a whole
+    doc, so per-(doc, query) scores need NO shuffle; only docs matching
+    >=1 query term emit rows, and ONE bucketed grouped_topk per qid
+    finishes (tie-break: score desc, doc_id asc).
+
+    Scores are INTEGER-quantized PER TERM — floor(quant * term_score)
+    with idf = ln((N - df + 0.5)/(df + 0.5)) — then summed as integers
+    per (doc, query): associative, so hash-exact vs the SQL oracle
+    whatever order either engine sums in; ranking uses the integer
+    score. Query terms are treated as a set (duplicate terms in a query
+    count once)."""
+    from .relational import grouped_topk
+
+    import ray
+
+    qtoks = {int(qid): qt.lower().split() for qid, qt in queries}
+    qterms = sorted({t for ts in qtoks.values() for t in ts})
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        e = pd.DataFrame({
+            "doc": np.repeat(batch[id_col].to_numpy(), lens),
+            "tok": toks.explode().dropna().to_numpy(dtype=object),
+        })
+        dfp = (e[e["tok"].isin(qterms)].drop_duplicates()
+               .groupby("tok", as_index=False).size())
+        out = pd.DataFrame({"tok": dfp["tok"],
+                            "df": dfp["size"].astype("int64")})
+        out.loc[len(out)] = ["__N__", int(len(batch))]
+        out.loc[len(out)] = ["__T__", int(lens.sum())]
+        return out
+
+    parts = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    tot = parts.groupby("tok")["df"].sum()
+    n_docs = int(tot.pop("__N__"))
+    n_toks = int(tot.pop("__T__"))
+    df_map = {t: int(c) for t, c in tot.items()}
+    const_ref = ray.put((df_map, n_docs, n_toks))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        df_map, n_docs, n_toks = ray.get(const_ref)
+        toks = batch[text_col].str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        e = pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), lens),
+            "dl": np.repeat(lens, lens),
+            "tok": toks.explode().dropna().to_numpy(dtype=object),
+        })
+        e = e[e["tok"].isin(df_map)]
+        if not len(e):
+            return pd.DataFrame({"qid": pd.array([], dtype="int64"),
+                                 id_col: pd.array([], dtype="int64"),
+                                 "score_q": pd.array([], dtype="int64")})
+        tf = e.groupby([id_col, "dl", "tok"], as_index=False).size()
+        frames = []
+        for qid, terms in qtoks.items():
+            m = tf[tf["tok"].isin(terms)]
+            if not len(m):
+                continue
+            tfv = m["size"].to_numpy(dtype="float64")
+            dl = m["dl"].to_numpy(dtype="float64")
+            dfv = np.array([df_map[t] for t in m["tok"]], dtype="float64")
+            idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5))
+            denom = tfv + k1 * (1.0 - b + b * dl * n_docs / n_toks)
+            # quantize PER TERM, then sum INTEGERS: a float per-doc sum
+            # is reduction-order-dependent and SQL's SUM order is
+            # arbitrary (the grouped_vector_sum lesson) — the per-term
+            # value is a pure function of (tf, dl, df), identical in
+            # both engines
+            s_q = np.floor(quant * idf * tfv * (k1 + 1.0) / denom
+                           ).astype("int64")
+            g = pd.DataFrame({id_col: m[id_col], "s": s_q}).groupby(
+                id_col, as_index=False)["s"].sum()
+            frames.append(pd.DataFrame({
+                "qid": np.full(len(g), qid, dtype=np.int64),
+                id_col: g[id_col].to_numpy(),
+                "score_q": g["s"].to_numpy(dtype="int64"),
+            }))
+        if not frames:
+            return pd.DataFrame({"qid": pd.array([], dtype="int64"),
+                                 id_col: pd.array([], dtype="int64"),
+                                 "score_q": pd.array([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = grouped_topk(scored, ["qid"], [("score_q", True), (id_col, False)],
+                       k, num_buckets=num_buckets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["qid", "score_q", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.assign(rank=(g.groupby("qid", sort=False).cumcount() + 1)
+                     .astype("int64"))
+        return g
+
+    return top.map_batches(rank, batch_format="pandas")

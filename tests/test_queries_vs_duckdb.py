@@ -63,9 +63,10 @@ SQL_BACKED = [
     # round 4
     "doc_line_dedup", "doc_repetition", "doc_contamination",
     "ann_join_exhaustive", "doc_pack_sequences", "events_debounced",
-    # round 5: HLL register-parity oracles (md5 kernel), LM scoring, PII
+    # round 5: HLL register-parity oracles (md5 kernel), LM scoring, PII,
+    # BM25 lexical retrieval
     "events_hll_users", "events_hll_users_by_type",
-    "doc_lm_score", "doc_pii_redacted",
+    "doc_lm_score", "doc_pii_redacted", "doc_bm25_topk",
 ]
 
 
