@@ -912,3 +912,47 @@ def global_prefix_sums(ds, key_col: str, weight_col: str, *,
 
     return hash_aggregate(ds.map_batches(add_range, batch_format="pandas"),
                           ["__rng"], per_range)
+
+
+def weighted_sample(ds, weight_col: str, k: int, *, id_cols: list[str],
+                    seed: str = "0", quant: int = 1_000_000_000):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws a seeded uniform u from
+    md5(seed || id) and the k rows with the largest ln(u)/w survive —
+    inclusion probability proportional to ``weight_col``, reproducible
+    at any parallelism (the per-row key is a pure function of (seed,
+    id)), and single-pass mergeable: local per-batch top-k partials +
+    one final top-k IS the reservoir, so nothing corpus-sized moves.
+    The quality-weighted subcorpus draw (sample ∝ quality score) of a
+    training-data pipeline.
+
+    Hash-exact vs SQL: u is the dyadic ((md5_64 >> 11) + 1) / 2^53 —
+    exactly representable, identical in DuckDB — and the sort key is
+    floor(quant * ln(u)/w) as an INTEGER with the id as tie-break.
+    Zero/negative weights are excluded (their ln(u)/w is undefined /
+    order-inverted). Same per-row-md5 cost contract as
+    deterministic_shuffle (~1.5M rows/s/core ceiling)."""
+    import hashlib
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[weight_col] > 0].copy()
+        if not len(batch):
+            batch["__wkey"] = pd.array([], dtype="int64")
+            return batch
+        s = seed + "|" + batch[id_cols[0]].astype(str)
+        for c in id_cols[1:]:
+            s = s + "|" + batch[c].astype(str)
+        md5 = hashlib.md5
+        h = np.array(
+            [int(md5(v).hexdigest()[:16], 16) for v in
+             s.str.encode("utf-8").to_numpy()],
+            dtype=np.uint64,
+        )
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        w = batch[weight_col].to_numpy(dtype="float64")
+        batch["__wkey"] = np.floor(quant * np.log(u) / w).astype("int64")
+        return batch
+
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    out = topk(keyed, [("__wkey", True)] + [(c, False) for c in id_cols], k)
+    return out.drop_columns(["__wkey"])

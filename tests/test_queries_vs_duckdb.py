@@ -67,6 +67,7 @@ SQL_BACKED = [
     # BM25 lexical retrieval
     "events_hll_users", "events_hll_users_by_type",
     "doc_lm_score", "doc_pii_redacted", "doc_bm25_topk",
+    "doc_weighted_sample",
 ]
 
 

@@ -2002,3 +2002,32 @@ def test_unigram_lm_scores_paths_equal(rd):
     # per-token average: doc 1 (all common) scores higher than doc 2
     avg = bc["lm_q"] / bc["n_tokens"]
     assert avg.iloc[0] > avg.iloc[1]
+
+
+def test_weighted_sample_invariance_and_bias(rd):
+    """A-ES weighted sampling: byte-identical at any partitioning, and
+    heavier rows are sampled proportionally more often across seeds."""
+    from split_ner_ray.stages.relational import weighted_sample
+
+    df = pd.DataFrame({"rid": np.arange(400),
+                       "w": np.where(np.arange(400) < 200, 9, 1)})
+    a = weighted_sample(rd.from_pandas(df), "w", 40,
+                        id_cols=["rid"], seed="s1").to_pandas()
+    b = weighted_sample(rd.from_pandas(df).repartition(13), "w", 40,
+                        id_cols=["rid"], seed="s1").to_pandas()
+    key = ["rid"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    # bias check: heavy rows (w=9, half the pop) dominate across seeds
+    heavy = 0
+    for s in map(str, range(8)):
+        out = weighted_sample(rd.from_pandas(df), "w", 40,
+                              id_cols=["rid"], seed=s).to_pandas()
+        heavy += int((out["rid"] < 200).sum())
+    assert heavy / (8 * 40) > 0.75  # E[heavy share] ≈ 0.9
+    # zero-weight rows are never sampled
+    df0 = pd.DataFrame({"rid": np.arange(10), "w": [0] * 5 + [1] * 5})
+    out0 = weighted_sample(rd.from_pandas(df0), "w", 10,
+                           id_cols=["rid"]).to_pandas()
+    assert set(out0["rid"]) == set(range(5, 10))
