@@ -48,7 +48,60 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    # incremental-dedup index lifecycle (the crawl loop: build the corpus
+    # index once; per crawl, probe the delta, append its keepers; compact
+    # periodically)
+    x = sub.add_parser("index", help="persistent MinHash-LSH dedup index")
+    x.add_argument("action", choices=["build", "append", "probe", "compact"])
+    x.add_argument("--index", required=True, help="index directory")
+    x.add_argument("--input", help="documents parquet (build/append/probe)")
+    x.add_argument("--output", help="pairs parquet output dir (probe)")
+    x.add_argument("--threshold", type=float, default=0.9,
+                   help="verify threshold (probe)")
+    x.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "index":
+        import ray
+
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        try:
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            import ray.data as rd
+
+            from .stages import dedup as dd
+
+            if args.action == "compact":
+                dd.minhash_index_compact(args.index)
+                print(json.dumps({"index": args.index, "compacted": True}))
+                return 0
+            if not args.input:
+                ap.error("index build/append/probe need --input")
+            docs = rd.read_parquet(args.input)
+            if args.action == "build":
+                meta = dd.minhash_index_build(docs, args.index)
+                print(json.dumps({"index": args.index, "meta": meta}))
+            elif args.action == "append":
+                meta = dd.minhash_index_append(docs, args.index)
+                print(json.dumps({"index": args.index, "meta": meta,
+                                  "appended": docs.count()}))
+            else:  # probe
+                pairs = dd.minhash_dups_against_index(
+                    docs, args.index, verify_threshold=args.threshold)
+                n = pairs.count()
+                if args.output:
+                    pairs.write_parquet(args.output)
+                print(json.dumps({"index": args.index, "pairs": n,
+                                  "output_dir": args.output}))
+            return 0
+        finally:
+            ray.shutdown()
 
     if args.cmd in ("curate", "compact"):
         import ray

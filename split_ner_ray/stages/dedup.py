@@ -1312,8 +1312,12 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
             "old_id": pd.array([], dtype="int64"),
             "est": pd.array([], dtype="float64")}))
     pairs = rd.read_parquet(files).map_batches(match, batch_format="pandas")
+    # src != dst: re-probing a delta that was ALREADY appended to the
+    # index (a resumed crawl job) finds each doc's own indexed copy —
+    # a self-match, not a duplicate
     pairs = hash_aggregate(
-        pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"])
+        pairs, ["src", "dst"],
+        lambda g: g[g["src"] != g["dst"]].drop_duplicates(["src", "dst"])
     ).materialize()
 
     # old signatures: candidate OLD ids are delta-bounded (every pair has
@@ -1335,10 +1339,22 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
                                     if f.endswith(".parquet")))
     if sig_files:
         cand_ref = ray.put(cand_old)
+        # exclude indexed copies of the delta's own ids (same id = same
+        # doc under the global-uniqueness contract): the delta's fresh
+        # signatures take precedence, and a duplicate id in the verify
+        # payload would trip build_shard_lookup's duplicate-key guard
+        new_ids = np.sort(sigs_new.select_columns(["id"]).to_pandas()["id"]
+                          .to_numpy(dtype=np.int64))
+        new_ids_ref = ray.put(new_ids)
 
         def keep_cands(b: pa.Table) -> pa.Table:
             ids = b.column("id").to_numpy(zero_copy_only=False)
             m = np.isin(ids, ray.get(cand_ref), assume_unique=False)
+            nid = ray.get(new_ids_ref)
+            if len(nid):
+                pos = np.searchsorted(nid, ids)
+                pos[pos == len(nid)] = 0
+                m &= ~(nid[pos] == ids)
             return b.select(["id", "sig"]).filter(pa.array(m))
 
         old_sigs = rd.read_parquet(sig_files).map_batches(
@@ -1409,8 +1425,11 @@ def _delta_pairs_distributed(rows_new_ds, sigs_new, index_dir: str,
                              "dst": m["id_n"].astype("int64")})
 
     pairs = cogroup(old_rows, rows_new_ds, ["band", "band_hash"], pair_bucket)
+    # src != dst: same re-probe-after-append contract as the broadcast
+    # path (self-matches of already-indexed delta docs are excluded)
     pairs = hash_aggregate(
-        pairs, ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]))
+        pairs, ["src", "dst"],
+        lambda g: g[g["src"] != g["dst"]].drop_duplicates(["src", "dst"]))
 
     sig_files = []
     sdir = os.path.join(index_dir, "sigs")
@@ -1420,8 +1439,28 @@ def _delta_pairs_distributed(rows_new_ds, sigs_new, index_dir: str,
             sig_files.extend(sorted(os.path.join(p, f)
                                     for f in os.listdir(p)
                                     if f.endswith(".parquet")))
+    # drop indexed copies of delta ids (delta sigs take precedence; a
+    # duplicate id would trip the shard lookup's duplicate-key guard).
+    # The id ARRAY is 8 B/row — broadcastable well past the band-row
+    # limit that routed us here (ids are bands x smaller than band rows)
+    import ray
+
+    new_ids = np.sort(sigs_new.select_columns(["id"]).to_pandas()["id"]
+                      .to_numpy(dtype=np.int64))
+    new_ids_ref = ray.put(new_ids)
+
+    def keep_old(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        nid = ray.get(new_ids_ref)
+        if len(nid):
+            pos = np.searchsorted(nid, ids)
+            pos[pos == len(nid)] = 0
+            keep = ~(nid[pos] == ids)
+            b = b.filter(pa.array(keep))
+        return b.select(["id", "sig"])
+
     old_sigs = rd.read_parquet(sig_files).map_batches(
-        lambda b: b.select(["id", "sig"]), batch_format="pyarrow")
+        keep_old, batch_format="pyarrow")
     payload = old_sigs.union(sigs_new)
 
     def keep_fn(a: np.ndarray, b: np.ndarray):

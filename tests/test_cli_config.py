@@ -134,3 +134,48 @@ def test_cli_curate_resumable(tmp_path):
     assert summary["kept_docs"] > 0
     assert os.path.exists(out / "_SUCCESS")
     assert os.path.isdir(out / "_work" / "quality" / "_manifest")
+
+
+def test_cli_index_lifecycle(tmp_path):
+    """index build -> probe -> append -> compact end to end through the
+    CLI (the incremental crawl loop's operational surface)."""
+    import json
+
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    corpus = docs[docs["doc_id"] % 10 != 0]
+    delta = docs[docs["doc_id"] % 10 == 0].copy()
+    delta["doc_id"] += 1_000_000  # globally unique ids, duplicate texts
+    cdir, ddir = tmp_path / "corpus", tmp_path / "delta"
+    os.makedirs(cdir)
+    os.makedirs(ddir)
+    corpus.to_parquet(cdir / "part-0.parquet", index=False)
+    delta.to_parquet(ddir / "part-0.parquet", index=False)
+
+    env = dict(os.environ, RAY_GRAFT_CPUS="2")
+    idx = str(tmp_path / "idx")
+
+    def run(*a):
+        r = subprocess.run(
+            [sys.executable, "-m", "split_ner_ray.cli", "index", *a,
+             "--index", idx, "--num-cpus", "2"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run("build", "--input", str(cdir))
+    probe1 = run("probe", "--input", str(ddir),
+                 "--output", str(tmp_path / "pairs1"))
+    assert probe1["pairs"] > 0  # delta docs are copies of corpus docs
+    run("append", "--input", str(ddir))
+    probe2 = run("probe", "--input", str(ddir),
+                 "--output", str(tmp_path / "pairs2"))
+    # after appending the delta itself, each delta doc also matches its
+    # own indexed copy's text under a different id
+    assert probe2["pairs"] > probe1["pairs"]
+    run("compact")
+    probe3 = run("probe", "--input", str(ddir))
+    assert probe3["pairs"] == probe2["pairs"]
