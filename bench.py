@@ -245,6 +245,9 @@ def run_bench() -> dict:
         "dedup_delta_vs_corpus",
         "events_debounced",
         "doc_repetition",
+        # round 5 operator adds
+        "doc_lm_score",
+        "doc_bm25_topk",
     )
     # best-of-N per query: this VM's wall clock varies +/-30% run to run,
     # so a single measurement is noise — the minimum of N in-session
