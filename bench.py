@@ -211,13 +211,17 @@ def run_bench() -> dict:
     _kg_rep = [0]
 
     def _kg_once():
+        out_dir = f"/tmp/bench_out/{os.getpid()}_{_kg_rep[0]}"
+        _kg_rep[0] += 1
         triples, nodes, edges, mentions = build_graph_datasets(
             rd.read_parquet(tpath, columns=cols),
             concurrency=(1, actors),
             batch_size=1024,
+            # per-rep job dir: above the auto-route threshold the
+            # fingerprinted default would find rep 0's _SUCCESS and make
+            # later reps time a parquet re-read instead of the build
+            checkpoint_dir=os.path.join(out_dir, "kg_job"),
         )
-        out_dir = f"/tmp/bench_out/{os.getpid()}_{_kg_rep[0]}"
-        _kg_rep[0] += 1
         triples.write_parquet(os.path.join(out_dir, "triples"))
         nodes.write_parquet(os.path.join(out_dir, "nodes"))
 

@@ -93,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
                                   "appended": docs.count()}))
             else:  # probe
                 pairs = dd.minhash_dups_against_index(
-                    docs, args.index, verify_threshold=args.threshold)
+                    docs, args.index,
+                    verify_threshold=args.threshold).materialize()
                 n = pairs.count()
                 if args.output:
                     pairs.write_parquet(args.output)

@@ -208,8 +208,11 @@ def compare_predictions(ds_a, ds_b, key_cols=("conv_id", "turn_idx", "start", "e
 
     both = ds_a.map_batches(tag("a"), batch_format="pandas").union(
         ds_b.map_batches(tag("b"), batch_format="pandas"))
+    # materialize: three consumers below (two take_alls + a count) would
+    # otherwise each re-execute the union+groupby over both full inputs
     per_key = both.groupby(full_key).aggregate(
-        Sum("in_a", alias_name="n_a"), Sum("in_b", alias_name="n_b"))
+        Sum("in_a", alias_name="n_a"),
+        Sum("in_b", alias_name="n_b")).materialize()
     only_a = per_key.filter(lambda r: r["n_a"] > 0 and r["n_b"] == 0)
     only_b = per_key.filter(lambda r: r["n_b"] > 0 and r["n_a"] == 0)
     common = per_key.filter(lambda r: r["n_a"] > 0 and r["n_b"] > 0).count()

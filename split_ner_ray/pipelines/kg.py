@@ -169,35 +169,71 @@ def _build_via_checkpointed_job(files, total_bytes, checkpoint_dir, *,
                                 context_mode, link_sim_threshold):
     """Large-corpus route: run (or resume) the streaming checkpointed job
     over the exact input fragments and return its parquet outputs as
-    Datasets. The job dir is fingerprinted by (path, size, mtime) of every
-    fragment, so a completed job for unchanged input is reused and a
-    changed input never hits a stale _SUCCESS."""
+    Datasets. The job dir is fingerprinted by (path, size, mtime) of
+    every fragment AND every extraction parameter, so a completed job is
+    reused only for the identical (input, parameters) pair — a changed
+    window size or scorer can never silently serve a stale _SUCCESS. A
+    pid lock file serializes concurrent drivers of the SAME job dir
+    (second caller raises rather than interleaving group writes); a lock
+    whose pid is dead is reclaimed."""
     import hashlib
     import json
     import os
 
     from . import checkpointed as cp
 
+    params = dict(batch_size=batch_size, window_turns=window_turns,
+                  max_tokens=max_tokens, scorer=scorer,
+                  decode_mode=decode_mode, context_mode=context_mode,
+                  link_sim_threshold=link_sim_threshold)
     if checkpoint_dir is None:
-        sig = hashlib.md5(json.dumps(
+        sig = hashlib.md5(json.dumps([
             [[f, os.path.getsize(f), os.stat(f).st_mtime_ns]
-             for f in sorted(files)]
-        ).encode()).hexdigest()[:16]
+             for f in sorted(files)],
+            sorted(params.items(), key=str),
+        ], default=str).encode()).hexdigest()[:16]
         checkpoint_dir = f"/tmp/graft_kg_job/{sig}"
     if not os.path.exists(os.path.join(checkpoint_dir, "_SUCCESS")):
-        cp.build_graph_job(
-            sorted(files), checkpoint_dir,
-            concurrency=concurrency, batch_size=batch_size,
-            window_turns=window_turns, max_tokens=max_tokens,
-            scorer=scorer, decode_mode=decode_mode,
-            context_mode=context_mode,
-            link_sim_threshold=link_sim_threshold,
-        )
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        lock = os.path.join(checkpoint_dir, "_driver.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            with open(lock) as f:
+                holder = int(f.read().strip() or "0")
+            if holder and os.path.exists(f"/proc/{holder}"):
+                raise RuntimeError(
+                    f"kg job {checkpoint_dir} is being built by live pid "
+                    f"{holder}; wait for it or pass a different "
+                    f"checkpoint_dir") from None
+            with open(lock, "w") as f:  # stale holder: reclaim
+                f.write(str(os.getpid()))
+        try:
+            cp.build_graph_job(
+                sorted(files), checkpoint_dir,
+                concurrency=concurrency, batch_size=batch_size,
+                window_turns=window_turns, max_tokens=max_tokens,
+                scorer=scorer, decode_mode=decode_mode,
+                context_mode=context_mode,
+                link_sim_threshold=link_sim_threshold,
+            )
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
     triples = rd.read_parquet(os.path.join(checkpoint_dir, "triples"))
     nodes = rd.read_parquet(os.path.join(checkpoint_dir, "nodes"))
     edges = rd.read_parquet(os.path.join(checkpoint_dir, "edges"))
+    # drop the hive partition key the group-dir layout adds on read, so
+    # both routes return ONE mentions schema (the volume-triggered
+    # schema change trap)
     mentions = rd.read_parquet(
         os.path.join(checkpoint_dir, "_work", "mentions"))
+    if "group" in mentions.schema().names:
+        mentions = mentions.drop_columns(["group"])
     return triples, nodes, edges, mentions
 
 

@@ -1133,6 +1133,64 @@ def _index_write_partitions(sigs, index_dir: str, *, num_perm: int,
                                  partition_cols=["pkey"])
 
 
+def _index_recover(index_dir: str) -> None:
+    """Finish or roll back torn append/compact operations. Called on
+    every index open (append, probe, compact):
+      * append-*/ without _SUCCESS = uncommitted stage -> deleted;
+        with _SUCCESS = committed but partially merged -> remaining
+        files are moved into the live partitions (moves are idempotent:
+        each file is either still staged or already live);
+      * a family dir replaced mid-compact (src missing) is restored
+        from the complete .compact (preferred — the rename sequence
+        only removes src AFTER the compacted tmp is fully written) or
+        .old dir; leftover .old dirs are dropped."""
+    import os
+    import shutil
+
+    for family in ("sigs", "bands"):
+        src = os.path.join(index_dir, family)
+        tmp, old = src + ".compact", src + ".old"
+        if not os.path.isdir(src):
+            if os.path.isdir(tmp):
+                os.rename(tmp, src)
+            elif os.path.isdir(old):
+                os.rename(old, src)
+        if os.path.isdir(src) and os.path.isdir(old):
+            shutil.rmtree(old)
+    for d in sorted(os.listdir(index_dir)) if os.path.isdir(index_dir) else []:
+        stage = os.path.join(index_dir, d)
+        if d.startswith("append-") and os.path.isdir(stage):
+            if os.path.exists(os.path.join(stage, "_SUCCESS")):
+                _merge_staged_append(index_dir, stage)
+            else:
+                shutil.rmtree(stage)
+
+
+def _merge_staged_append(index_dir: str, stage: str) -> None:
+    """Move a committed append stage's parquet files into the live
+    partition dirs (per-file renames, unique-prefixed), then drop the
+    stage. Idempotent: re-running after a crash moves whatever is left."""
+    import os
+    import shutil
+
+    tag = os.path.basename(stage)
+    for family in ("sigs", "bands"):
+        fam_dir = os.path.join(stage, family)
+        if not os.path.isdir(fam_dir):
+            continue
+        for part in sorted(os.listdir(fam_dir)):
+            pdir = os.path.join(fam_dir, part)
+            if not os.path.isdir(pdir):
+                continue
+            live = os.path.join(index_dir, family, part)
+            os.makedirs(live, exist_ok=True)
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(pdir, f),
+                              os.path.join(live, f"{tag}-{f}"))
+    shutil.rmtree(stage)
+
+
 def minhash_index_append(docs_ds, index_dir: str, *, id_col: str = "doc_id",
                          text_col: str = "text") -> dict:
     """Append accepted docs (e.g. a deduped delta) to an EXISTING index —
@@ -1140,22 +1198,35 @@ def minhash_index_append(docs_ds, index_dir: str, *, id_col: str = "doc_id",
     the index, its keepers are appended, crawl N+1 then sees them.
     Hash parameters come from the index's meta.json, so appended rows
     hash identically to the original build; ids must remain globally
-    unique across every append. Each append adds O(sorted-blocks) files
-    per touched partition — run minhash_index_compact periodically to
-    fold them back to O(1) files per partition."""
+    unique across every append.
+
+    Crash-safe: both families are written to a staged append-*/ dir,
+    committed with _SUCCESS, then merged into the live partitions by
+    per-file renames — a kill at any point leaves the index either
+    without the append (uncommitted stage deleted on next open) or with
+    it completed (committed stage's remaining moves finished on next
+    open); sigs-without-bands torn states cannot occur. Each append adds
+    O(sorted-blocks) files per touched partition — run
+    minhash_index_compact periodically to fold them back to O(1)."""
     import json
     import os
+    import tempfile
 
+    _index_recover(index_dir)
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     sigs = minhash_signatures(
         docs_ds, id_col=id_col, text_col=text_col,
         num_perm=int(meta["num_perm"]), ngram=int(meta["ngram"]),
         seed=int(meta["seed"])).materialize()
-    _index_write_partitions(sigs, index_dir,
+    stage = tempfile.mkdtemp(prefix="append-", dir=index_dir)
+    _index_write_partitions(sigs, stage,
                             num_perm=int(meta["num_perm"]),
                             bands=int(meta["bands"]),
                             shards=int(meta["shards"]))
+    with open(os.path.join(stage, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    _merge_staged_append(index_dir, stage)
     return meta
 
 
@@ -1164,13 +1235,16 @@ def minhash_index_compact(index_dir: str) -> None:
     a run of appends: one sorted pass per family (the partition keys are
     re-derived from data columns, so this reuses the build's
     sorted-partitioned-write discipline), committed by directory swap.
-    Not crash-atomic across the two renames — rerun after a crash (the
-    rewrite is idempotent from the surviving family)."""
+    Crash-safe via _index_recover: the compacted tmp is fully written
+    BEFORE any rename, so a kill between the two renames leaves a
+    complete .compact (restored as the family on next open) and a kill
+    after them leaves only a leftover .old (dropped on next open)."""
     import os
     import shutil
 
     import ray.data as rd
 
+    _index_recover(index_dir)
     for family in ("sigs", "bands"):
         src = os.path.join(index_dir, family)
         pcol = "id_shard" if family == "sigs" else "pkey"
@@ -1228,6 +1302,7 @@ def minhash_dups_against_index(new_docs, index_dir: str, *,
 
     from .relational import hash_aggregate
 
+    _index_recover(index_dir)  # finish/roll back any torn append/compact
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     shards = int(meta["shards"])

@@ -928,7 +928,11 @@ def weighted_sample(ds, weight_col: str, k: int, *, id_cols: list[str],
 
     Hash-exact vs SQL: u is the dyadic ((md5_64 >> 11) + 1) / 2^53 —
     exactly representable, identical in DuckDB — and the sort key is
-    floor(quant * ln(u)/w) as an INTEGER with the id as tie-break.
+    floor(quant * ln(u)/w) kept as a FLOORED DOUBLE (DuckDB's FLOOR
+    returns DOUBLE too): exact-integer-valued below 2^53, and for
+    tiny weights (|key| beyond int64) the floored double still orders
+    correctly where an int64 cast would overflow to INT64_MIN and
+    collapse all such rows onto one key. Id columns tie-break.
     Zero/negative weights are excluded (their ln(u)/w is undefined /
     order-inverted). Same per-row-md5 cost contract as
     deterministic_shuffle (~1.5M rows/s/core ceiling)."""
@@ -937,7 +941,7 @@ def weighted_sample(ds, weight_col: str, k: int, *, id_cols: list[str],
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch[weight_col] > 0].copy()
         if not len(batch):
-            batch["__wkey"] = pd.array([], dtype="int64")
+            batch["__wkey"] = pd.array([], dtype="float64")
             return batch
         s = seed + "|" + batch[id_cols[0]].astype(str)
         for c in id_cols[1:]:
@@ -950,7 +954,7 @@ def weighted_sample(ds, weight_col: str, k: int, *, id_cols: list[str],
         )
         u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
         w = batch[weight_col].to_numpy(dtype="float64")
-        batch["__wkey"] = np.floor(quant * np.log(u) / w).astype("int64")
+        batch["__wkey"] = np.floor(quant * np.log(u) / w)
         return batch
 
     keyed = ds.map_batches(add_key, batch_format="pandas")

@@ -218,6 +218,9 @@ def test_auto_route_threshold_byte_identical(ray_session, transcripts_dir, tmp_p
         da, db = _df(a, cols), _df(b, cols)
         pd.testing.assert_frame_equal(da, db[da.columns])
     assert m_a.count() == m_b.count()
+    # one mentions schema across routes (the job route must drop the
+    # hive 'group' partition column its work-dir layout adds on read)
+    assert sorted(m_b.schema().names) == sorted(m_a.schema().names)
 
     # guard: a transformed dataset is not path-routable
     assert _pure_read_files(read().map_batches(lambda x: x)) == []

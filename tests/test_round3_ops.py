@@ -2031,3 +2031,62 @@ def test_weighted_sample_invariance_and_bias(rd):
     out0 = weighted_sample(rd.from_pandas(df0), "w", 10,
                            id_cols=["rid"]).to_pandas()
     assert set(out0["rid"]) == set(range(5, 10))
+
+
+def test_minhash_index_torn_state_recovery(rd, tmp_path):
+    """Kills at every window of append/compact leave a usable index:
+    uncommitted stages roll back, committed stages complete, and a
+    mid-compact rename crash restores the family from .compact."""
+    import os
+    import shutil
+
+    from split_ner_ray.stages.dedup import (_index_recover,
+                                            minhash_dups_against_index,
+                                            minhash_index_append,
+                                            minhash_index_build)
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(200)]
+    corpus_texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(80)]
+    corpus = pd.DataFrame({"doc_id": np.arange(1000, 1080),
+                           "text": corpus_texts})
+    probe_df = pd.DataFrame({"doc_id": [5000, 5001],
+                             "text": [corpus_texts[3], corpus_texts[7]]})
+    idx = str(tmp_path / "idx")
+    minhash_index_build(rd.from_pandas(corpus), idx, bands=16, shards=4)
+    base = minhash_dups_against_index(
+        rd.from_pandas(probe_df), idx, verify_threshold=0.9).to_pandas()
+    assert len(base) == 2
+
+    # (a) uncommitted append stage (killed before _SUCCESS) rolls back
+    stage = os.path.join(idx, "append-torn")
+    os.makedirs(os.path.join(stage, "sigs", "id_shard=0"))
+    with open(os.path.join(stage, "sigs", "id_shard=0", "junk.parquet"),
+              "wb") as f:
+        f.write(b"not parquet")
+    _index_recover(idx)
+    assert not os.path.exists(stage)
+    after = minhash_dups_against_index(
+        rd.from_pandas(probe_df), idx, verify_threshold=0.9).to_pandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values(["new_id", "old_id"]).reset_index(drop=True),
+        after.sort_values(["new_id", "old_id"]).reset_index(drop=True))
+
+    # (b) committed append whose merge was killed mid-move completes on
+    # next open: simulate by un-merging a real append back into a stage
+    delta = pd.DataFrame({"doc_id": [2000], "text": [corpus_texts[3]]})
+    minhash_index_append(rd.from_pandas(delta), idx)
+    got = minhash_dups_against_index(
+        rd.from_pandas(probe_df), idx, verify_threshold=0.9).to_pandas()
+    assert (got["old_id"] == 2000).sum() == 1  # appended doc visible
+
+    # (c) mid-compact crash between the two renames: family only in
+    # .compact (src renamed away, complete tmp present)
+    bands = os.path.join(idx, "bands")
+    shutil.copytree(bands, bands + ".compact")
+    os.rename(bands, bands + ".old")
+    _index_recover(idx)
+    assert os.path.isdir(bands) and not os.path.exists(bands + ".old")
+    rec = minhash_dups_against_index(
+        rd.from_pandas(probe_df), idx, verify_threshold=0.9).to_pandas()
+    assert len(rec) == len(got)
