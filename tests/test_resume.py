@@ -225,3 +225,31 @@ def test_auto_route_threshold_byte_identical(ray_session, transcripts_dir, tmp_p
     # guard: a transformed dataset is not path-routable
     assert _pure_read_files(read().map_batches(lambda x: x)) == []
     assert len(_pure_read_files(read())) == 5
+
+
+def test_auto_route_driver_lock(ray_session, transcripts_dir, tmp_path):
+    """A second driver on the same un-built job dir raises while the
+    holder is alive, and a stale (dead-pid) lock is reclaimed."""
+    import pytest as _pytest
+
+    import ray.data as rd
+
+    from split_ner_ray.pipelines.kg import EXTRACT_COLS, build_graph_datasets
+
+    job = tmp_path / "job_locked"
+    os.makedirs(job)
+    with open(job / "_driver.lock", "w") as f:
+        f.write(str(os.getpid()))  # a live pid (ours) holds the lock
+    read = lambda: rd.read_parquet(transcripts_dir, columns=EXTRACT_COLS)
+    with _pytest.raises(RuntimeError, match="live pid"):
+        build_graph_datasets(read(), concurrency=2, batch_size=256,
+                             inmem_limit_bytes=0, checkpoint_dir=str(job))
+    # stale lock: dead pid is reclaimed and the build proceeds
+    with open(job / "_driver.lock", "w") as f:
+        f.write("999999999")
+    t, n, e, m = build_graph_datasets(read(), concurrency=2, batch_size=256,
+                                      inmem_limit_bytes=0,
+                                      checkpoint_dir=str(job))
+    assert os.path.exists(job / "_SUCCESS")
+    assert not os.path.exists(job / "_driver.lock")
+    assert t.count() > 0
